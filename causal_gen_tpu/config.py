@@ -1,0 +1,257 @@
+"""Typed hyperparameter system.
+
+TPU-native re-design of the reference's mutable ``Hparams`` + argparse registry
+(reference: src/hps.py:3-91). Differences by design:
+
+- Frozen dataclass: config is immutable once constructed; anything that varies
+  per-step (beta warmup, iteration counters) lives in the train state, never in
+  the config (reference mutates ``args`` globally, e.g. trainer.py:55).
+- The encoder/decoder architecture DSL strings are parsed once, eagerly, into
+  static stage tuples so model construction and jit tracing see fully static
+  structure (reference parses lazily inside module __init__, vae.py:90-113,
+  198-207).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+# ---------------------------------------------------------------------------
+# Architecture DSL
+# ---------------------------------------------------------------------------
+# Encoder stage grammar (reference vae.py:90-113): "<res>b<blocks>[d<rate>]"
+# e.g. "32b3d2" = at input-res 32 run 3 blocks then a downsampling block /2.
+# Decoder stage grammar (reference vae.py:198-203): "<res>b<blocks>".
+
+
+@dataclass(frozen=True)
+class EncStage:
+    res: int
+    n_blocks: int
+    down_rate: Optional[int]  # None = no downsample block at end of stage
+
+
+@dataclass(frozen=True)
+class DecStage:
+    res: int
+    n_blocks: int
+
+
+def parse_enc_arch(enc_arch: str) -> Tuple[EncStage, ...]:
+    stages = []
+    for stage in enc_arch.split(","):
+        res_s, rest = stage.split("b")
+        if "d" in rest:
+            nb_s, d_s = rest.split("d")
+            down: Optional[int] = int(d_s)
+        else:
+            nb_s, down = rest, None
+        stages.append(EncStage(res=int(res_s), n_blocks=int(nb_s), down_rate=down))
+    return tuple(stages)
+
+
+def parse_dec_arch(dec_arch: str) -> Tuple[DecStage, ...]:
+    stages = []
+    for stage in dec_arch.split(","):
+        res_s, nb_s = stage.split("b")
+        stages.append(DecStage(res=int(res_s), n_blocks=int(nb_s)))
+    return tuple(stages)
+
+
+# ---------------------------------------------------------------------------
+# Config
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Config:
+    """Full experiment configuration (replaces reference src/hps.py registry).
+
+    Field defaults mirror the reference argparse defaults (hps.py:94-254).
+    """
+
+    # experiment
+    name: str = "ukbb64"
+    exp_name: str = ""
+    data_dir: str = ""
+    seed: int = 7
+    # training
+    epochs: int = 5000
+    bs: int = 32
+    lr: float = 1e-3
+    lr_warmup_steps: int = 100
+    wd: float = 0.01
+    betas: Tuple[float, float] = (0.9, 0.9)
+    ema_rate: float = 0.999
+    input_res: int = 64
+    input_channels: int = 1
+    pad: int = 3
+    hflip: float = 0.5
+    grad_clip: float = 350.0
+    grad_skip: float = 500.0
+    accu_steps: int = 1
+    beta: float = 1.0
+    beta_warmup_steps: int = 0
+    kl_free_bits: float = 0.0
+    viz_freq: int = 10000
+    eval_freq: int = 5
+    # model
+    vae: str = "hierarchical"  # "simple" | "hierarchical"
+    enc_arch: str = "64b1d2,32b1d2,16b1d2,8b1d8,1b2"
+    dec_arch: str = "1b2,8b2,16b2,32b2,64b2"
+    cond_prior: bool = False
+    widths: Tuple[int, ...] = (16, 32, 48, 64, 128)
+    bottleneck: int = 4
+    z_dim: int = 16
+    z_max_res: int = 192
+    bias_max_res: int = 64
+    x_like: str = "diag_dgauss"  # {fixed,shared,diag}_{gauss,dgauss,dmol}
+    std_init: float = 0.0
+    parents_x: Tuple[str, ...] = ("mri_seq", "brain_volume", "ventricle_volume", "sex")
+    concat_pa: bool = True
+    context_dim: int = 4
+    context_norm: str = "log_standard"  # "[-1,1]" | "[0,1]" | "log_standard"
+    q_correction: bool = False
+    # block body variant: "gelu6" (4-conv GELU body) or "light" (2-conv ReLU,
+    # lower memory; reference vae.py:49-68 keys this off the dataset name)
+    block_version: Optional[str] = None
+    # conditioning dropout: zero parent channels [cond_drop_from:] on a random
+    # path during cond_prior training (reference vae.py:220,244-249 keys this
+    # off 'morphomnist' in the hps name; we make it explicit config)
+    cond_drop_from: Optional[int] = None
+    # compute
+    dtype: str = "float32"  # activations dtype for conv stacks
+    use_pallas: bool = False  # fuse hot elementwise chains with Pallas kernels
+    # parallelism (no reference counterpart; see SURVEY.md parallelism table)
+    mesh_shape: Tuple[int, ...] = (1,)
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+    # ---- derived, static structure -------------------------------------
+    @property
+    def enc_stages(self) -> Tuple[EncStage, ...]:
+        return parse_enc_arch(self.enc_arch)
+
+    @property
+    def dec_stages(self) -> Tuple[DecStage, ...]:
+        return parse_dec_arch(self.dec_arch)
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "Config":
+        clean = {}
+        fields = {f.name: f for f in dataclasses.fields(Config)}
+        for k, v in d.items():
+            if k not in fields:
+                continue
+            if isinstance(v, list):
+                v = tuple(v)
+            clean[k] = v
+        return Config(**clean)
+
+
+# ---------------------------------------------------------------------------
+# Registry (reference src/hps.py:12-78)
+# ---------------------------------------------------------------------------
+
+CONFIG_REGISTRY: Dict[str, Config] = {}
+
+
+def register(name: str, **overrides: Any) -> Config:
+    cfg = Config(name=name).replace(**overrides)
+    CONFIG_REGISTRY[name] = cfg
+    return cfg
+
+
+register(
+    "morphomnist",
+    lr=1e-3,
+    bs=32,
+    wd=0.01,
+    z_dim=16,
+    input_res=32,
+    pad=4,
+    enc_arch="32b3d2,16b3d2,8b3d2,4b3d4,1b4",
+    dec_arch="1b4,4b4,8b4,16b4,32b4",
+    widths=(16, 32, 64, 128, 256),
+    parents_x=("thickness", "intensity", "digit"),
+    concat_pa=True,
+    context_norm="[-1,1]",
+    context_dim=12,
+    block_version=None,  # GELU 4-conv body (reference vae.py:57-68)
+    cond_drop_from=2,  # drop digit one-hot channels only (reference vae.py:246)
+)
+
+register(
+    "cmnist",
+    lr=1e-3,
+    bs=32,
+    wd=0.01,
+    z_dim=16,
+    input_res=32,
+    input_channels=3,
+    pad=4,
+    enc_arch="32b3d2,16b3d2,8b3d2,4b3d4,1b4",
+    dec_arch="1b4,4b4,8b4,16b4,32b4",
+    widths=(16, 32, 64, 128, 256),
+    parents_x=("digit", "colour"),
+    context_dim=20,
+)
+
+register(
+    "ukbb64",
+    lr=1e-3,
+    bs=32,
+    wd=0.1,
+    z_dim=16,
+    input_res=64,
+    pad=3,
+    enc_arch="64b3d2,32b31d2,16b15d2,8b7d2,4b3d4,1b2",
+    dec_arch="1b2,4b4,8b8,16b16,32b32,64b4",
+    widths=(32, 64, 128, 256, 512, 1024),
+    block_version="light",  # reference vae.py:428 keys this off 'ukbb'
+)
+
+register(
+    "ukbb192",
+    lr=1e-3,
+    bs=32,
+    wd=0.1,
+    z_dim=16,
+    input_res=192,
+    pad=9,
+    enc_arch="192b1d2,96b3d2,48b7d2,24b11d2,12b7d2,6b3d6,1b2",
+    dec_arch="1b2,6b4,12b8,24b12,48b8,96b4,192b2",
+    widths=(32, 64, 96, 128, 160, 192, 512),
+    block_version="light",
+)
+
+register(
+    "mimic192",
+    lr=1e-3,
+    bs=16,
+    wd=0.1,
+    z_dim=16,
+    input_res=192,
+    pad=9,
+    enc_arch="192b1d2,96b3d2,48b7d2,24b11d2,12b7d2,6b3d6,1b2",
+    dec_arch="1b2,6b4,12b8,24b12,48b8,96b4,192b2",
+    widths=(32, 64, 96, 128, 160, 192, 512),
+)
+
+
+def get_config(name: str, **overrides: Any) -> Config:
+    if name not in CONFIG_REGISTRY:
+        raise KeyError(f"unknown config '{name}'; have {sorted(CONFIG_REGISTRY)}")
+    cfg = CONFIG_REGISTRY[name]
+    return cfg.replace(**overrides) if overrides else cfg

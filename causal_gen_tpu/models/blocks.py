@@ -1,0 +1,153 @@
+"""Conv building blocks for the HVAE image mechanism (Flax linen, NHWC).
+
+Port targets: Block (reference src/vae.py:33-84), Encoder (vae.py:87-134).
+TPU-native choices:
+- NHWC layout throughout (flax Conv default) so XLA tiles channels onto the
+  128-lane dimension; the reference is NCHW.
+- Static architecture: stages come pre-parsed from Config (config.py), so jit
+  sees a fixed unrolled graph.
+- Parents are carried as (B, context_dim) vectors and broadcast lazily at the
+  consumption site (XLA fuses the broadcast into the conv); the reference
+  materializes (B, C, H, W) parent maps up front (trainer.py:20).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+
+def scaled_init(scale: float):
+    """Lecun-normal kernel init scaled by a constant (replaces the reference's
+    post-hoc ``weight.data *= scale`` at vae.py:122, 303-308)."""
+    base = nn.initializers.lecun_normal()
+
+    def init(key, shape, dtype=jnp.float32):
+        return base(key, shape, dtype) * scale
+
+    return init
+
+
+class Block(nn.Module):
+    """Bottlenecked residual conv block (reference vae.py:33-84).
+
+    version=None: GELU 1x1 -> 3x3 -> 3x3 -> 1x1 body ("morphomnist" variant).
+    version="light": ReLU kxk -> kxk two-conv body (lower memory, "ukbb").
+    """
+
+    in_width: int
+    bottleneck: int
+    out_width: int
+    kernel_size: int = 3
+    residual: bool = True
+    down_rate: Optional[int] = None
+    version: Optional[str] = None
+    last_scale: float = 1.0  # scale of final conv kernel init (0.0 => zeros)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k = self.kernel_size
+        last_init = (
+            nn.initializers.zeros if self.last_scale == 0.0 else scaled_init(self.last_scale)
+        )
+        if self.version == "light":
+            out = nn.relu(x)
+            out = nn.Conv(self.bottleneck, (k, k), padding="SAME" if k > 1 else "VALID")(out)
+            out = nn.relu(out)
+            out = nn.Conv(
+                self.out_width, (k, k), padding="SAME" if k > 1 else "VALID",
+                kernel_init=last_init,
+            )(out)
+        else:
+            out = nn.gelu(x, approximate=False)
+            out = nn.Conv(self.bottleneck, (1, 1))(out)
+            out = nn.gelu(out, approximate=False)
+            out = nn.Conv(self.bottleneck, (k, k), padding="SAME" if k > 1 else "VALID")(out)
+            out = nn.gelu(out, approximate=False)
+            out = nn.Conv(self.bottleneck, (k, k), padding="SAME" if k > 1 else "VALID")(out)
+            out = nn.gelu(out, approximate=False)
+            out = nn.Conv(self.out_width, (1, 1), kernel_init=last_init)(out)
+        if self.residual:
+            if x.shape[-1] != out.shape[-1]:
+                # width projection exists when downsampling or narrowing
+                # (reference vae.py:70-71)
+                x = nn.Conv(self.out_width, (1, 1), name="width_proj")(x)
+            out = x + out
+        if self.down_rate:
+            d = int(self.down_rate)
+            out = nn.avg_pool(out, (d, d), strides=(d, d))
+        return out
+
+
+class Encoder(nn.Module):
+    """Bottom-up encoder producing activations keyed by spatial resolution
+    (reference vae.py:87-134)."""
+
+    stages: Tuple  # Tuple[EncStage, ...] from config.parse_enc_arch
+    widths: Tuple[int, ...]
+    bottleneck: int
+    input_channels: int
+    version: Optional[str] = None
+
+    def setup(self):
+        # flatten stage spec into per-block (width, down_rate) like vae.py:111-113
+        flat = []
+        stem_width, stem_stride = self.widths[0], 1
+        for i, stage in enumerate(self.stages):
+            if i == 0 and stage.n_blocks == 0 and stage.down_rate is None:
+                stem_width, stem_stride = self.widths[1], 2
+                continue
+            flat += [(self.widths[i], None) for _ in range(stage.n_blocks)]
+            if stage.down_rate is not None:
+                flat += [(self.widths[i + 1], stage.down_rate)]
+        self._flat = tuple(flat)
+        self.stem = nn.Conv(stem_width, (7, 7), strides=(stem_stride, stem_stride), padding=3)
+        blocks = []
+        n = len(flat)
+        for i, (width, d) in enumerate(flat):
+            prev_width = flat[max(0, i - 1)][0]
+            blocks.append(
+                Block(
+                    in_width=prev_width,
+                    bottleneck=prev_width // self.bottleneck,
+                    out_width=width,
+                    down_rate=d,
+                    version=self.version,
+                    last_scale=float(np.sqrt(1.0 / n)),
+                )
+            )
+        self.blocks = blocks
+
+    def __call__(self, x: Array) -> Dict[int, Array]:
+        x = self.stem(x)
+        acts: Dict[int, Array] = {}
+        for block in self.blocks:
+            x = block(x)
+            res = x.shape[1]
+            if res % 2 and res > 1:  # pad odd resolutions (reference vae.py:131-132)
+                x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            acts[x.shape[1]] = x
+        return acts
+
+
+def upsample_nearest(x: Array, target_res: int) -> Array:
+    """Nearest-neighbor upsample NHWC to (target_res, target_res).
+
+    Matches F.interpolate(..., mode='nearest') for integer scale factors
+    (reference vae.py:253, 259); implemented as repeat so XLA lowers it to a
+    cheap broadcast-reshape instead of a gather.
+    """
+    b, h, w, c = x.shape
+    if target_res == h:
+        return x
+    if target_res % h == 0:
+        f = target_res // h
+        x = jnp.repeat(x, f, axis=1)
+        x = jnp.repeat(x, f, axis=2)
+        return x
+    return jax.image.resize(x, (b, target_res, target_res, c), method="nearest")

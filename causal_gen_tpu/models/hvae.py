@@ -1,0 +1,354 @@
+"""Hierarchical VAE image mechanism (Flax linen, NHWC, statically unrolled).
+
+Port target: reference src/vae.py:137-523 (DecoderBlock/Decoder/HVAE) with the
+four-method mechanism API {__call__, sample, abduct, forward_latents}
+(SURVEY.md §1 "L3/L4 model API").
+
+TPU-native redesign decisions:
+- Parents flow as (B, context_dim) vectors; each consumption site broadcasts
+  them to (B, res, res, ctx) with jnp.broadcast_to, which XLA fuses into the
+  following conv (the reference materializes full-res parent maps and slices
+  per block, vae.py:241).
+- The decoder's per-block loop is a static Python unroll over a fixed,
+  config-derived block list; latent plumbing uses fixed-length tuples with
+  None holes so every call mode traces to one static XLA graph (replaces the
+  reference's dict-keyed activations + try/except latent indexing,
+  vae.py:281-285).
+- Sampling keys come from the linen "sample" RNG stream: one fold per site, so
+  identical seeds give identical counterfactuals (BASELINE.json requirement).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from causal_gen_tpu.config import Config
+from causal_gen_tpu.models.blocks import Block, Encoder, scaled_init, upsample_nearest
+from causal_gen_tpu.models.likelihoods import make_likelihood
+from causal_gen_tpu.ops.distributions import gaussian_kl, sample_gaussian
+
+
+def _bcast_pa(pa: Array, res: int) -> Array:
+    """(B, ctx) -> (B, res, res, ctx) broadcast (free under XLA fusion)."""
+    b, c = pa.shape
+    return jnp.broadcast_to(pa[:, None, None, :], (b, res, res, c))
+
+
+class DecoderBlock(nn.Module):
+    """Top-down stochastic block (reference vae.py:137-192)."""
+
+    in_width: int
+    out_width: int
+    resolution: int
+    z_dim: int
+    context_dim: int
+    bottleneck_factor: int
+    stochastic: bool
+    cond_prior: bool
+    q_correction: bool
+    version: Optional[str]
+    n_blocks: int  # total decoder depth, for 1/sqrt(L) weight scaling
+
+    def setup(self):
+        bottleneck = self.in_width // self.bottleneck_factor
+        k = 3 if self.resolution > 2 else 1
+        scale = float(np.sqrt(1.0 / self.n_blocks))
+        self.prior = Block(
+            in_width=self.in_width + (self.context_dim if self.cond_prior else 0),
+            bottleneck=bottleneck,
+            out_width=2 * self.z_dim + self.in_width,
+            kernel_size=k,
+            residual=False,
+            version=self.version,
+            last_scale=0.0,  # zero-init prior head (reference vae.py:308)
+        )
+        if self.stochastic:
+            self.posterior = Block(
+                in_width=2 * self.in_width + self.context_dim,
+                bottleneck=bottleneck,
+                out_width=2 * self.z_dim,
+                kernel_size=k,
+                residual=False,
+                version=self.version,
+            )
+        self.z_proj = nn.Conv(self.in_width, (1, 1), kernel_init=scaled_init(scale))
+        if not self.q_correction:
+            self.z_feat_proj = nn.Conv(self.out_width, (1, 1))
+        self.conv = Block(
+            in_width=self.in_width,
+            bottleneck=bottleneck,
+            out_width=self.out_width,
+            kernel_size=k,
+            residual=True,
+            version=self.version,
+            last_scale=scale,
+        )
+
+    def forward_prior(
+        self, z: Array, pa: Optional[Array] = None, t: Optional[float] = None
+    ) -> Tuple[Array, Array, Array]:
+        if self.cond_prior:
+            z = jnp.concatenate([z, _bcast_pa(pa, z.shape[1])], axis=-1)
+        z = self.prior(z)
+        p_loc = z[..., : self.z_dim]
+        p_logscale = z[..., self.z_dim : 2 * self.z_dim]
+        p_features = z[..., 2 * self.z_dim :]
+        if t is not None:
+            p_logscale = p_logscale + math.log(t)
+        return p_loc, p_logscale, p_features
+
+    def forward_posterior(
+        self, z: Array, x: Array, pa: Array, t: Optional[float] = None
+    ) -> Tuple[Array, Array]:
+        h = jnp.concatenate([z, _bcast_pa(pa, z.shape[1]), x], axis=-1)
+        out = self.posterior(h)
+        q_loc, q_logscale = jnp.split(out, 2, axis=-1)
+        if t is not None:
+            q_logscale = q_logscale + math.log(t)
+        return q_loc, q_logscale
+
+    def __call__(self, *a, **k):  # linen requires __call__; dispatch unused
+        raise NotImplementedError
+
+
+class Decoder(nn.Module):
+    """Top-down decoder (reference vae.py:195-319)."""
+
+    cfg: Config
+
+    def setup(self):
+        cfg = self.cfg
+        stages: List[Tuple[int, int]] = []  # (res, width) flattened per block
+        rev_widths = tuple(reversed(cfg.widths))
+        for i, st in enumerate(cfg.dec_stages):
+            stages += [(st.res, rev_widths[i]) for _ in range(st.n_blocks)]
+        n = len(stages)
+        blocks = []
+        for i, (res, width) in enumerate(stages):
+            next_width = stages[min(n - 1, i + 1)][1]
+            blocks.append(
+                DecoderBlock(
+                    in_width=width,
+                    out_width=next_width,
+                    resolution=res,
+                    z_dim=cfg.z_dim,
+                    context_dim=cfg.context_dim,
+                    bottleneck_factor=cfg.bottleneck,
+                    stochastic=res <= cfg.z_max_res,
+                    cond_prior=cfg.cond_prior,
+                    q_correction=cfg.q_correction,
+                    version=cfg.block_version,
+                    n_blocks=n,
+                )
+            )
+        self.blocks = blocks
+        self._stages = tuple(stages)
+        # per-resolution learned biases (reference vae.py:211-218)
+        all_res = sorted(set(r for r, _ in stages))
+        self._bias_res = tuple(r for i, r in enumerate(all_res) if r <= cfg.bias_max_res)
+        self.bias = [
+            self.param(f"bias_{r}", nn.initializers.zeros, (1, r, r, rev_widths[i]))
+            for i, r in enumerate(all_res)
+            if r <= cfg.bias_max_res
+        ]
+
+    def _bias_at(self, res: int) -> Optional[Array]:
+        for r, b in zip(self._bias_res, self.bias):
+            if r == res:
+                return b
+        return None
+
+    def _drop_cond(self) -> Tuple[Array, Array]:
+        """Random conditioning-path dropout (reference vae.py:310-319)."""
+        key = self.make_rng("sample")
+        opt = jax.random.randint(key, (), 0, 3)
+        p_sto = jnp.where(opt == 0, 0.0, 1.0)
+        p_det = jnp.where(opt == 1, 0.0, 1.0)
+        return p_sto, p_det
+
+    def __call__(
+        self,
+        parents: Array,  # (B, context_dim)
+        acts: Optional[Dict[int, Array]] = None,
+        t: Optional[float] = None,
+        abduct: bool = False,
+        latents: Optional[Sequence[Optional[Array]]] = None,
+        train: bool = False,
+    ) -> Tuple[Array, List[Dict[str, Any]]]:
+        cfg = self.cfg
+        bs = parents.shape[0]
+        h = z = jnp.tile(self._bias_at(1), (bs, 1, 1, 1))
+        if train and cfg.cond_prior:
+            p_sto, p_det = self._drop_cond()
+        else:
+            p_sto, p_det = 1.0, 1.0
+
+        if latents is None:
+            latents = [None] * len(self.blocks)
+        else:
+            latents = list(latents) + [None] * (len(self.blocks) - len(latents))
+
+        stats: List[Dict[str, Any]] = []
+        for i, block in enumerate(self.blocks):
+            res = block.resolution
+            pa = parents  # (B, ctx); spatially constant so no per-res slicing
+            if cfg.cond_drop_from is not None:
+                d = cfg.cond_drop_from
+                pa_sto = pa.at[:, d:].multiply(p_sto)
+                pa_det = pa.at[:, d:].multiply(p_det)
+            else:
+                pa_sto = pa_det = pa
+            del pa_det  # parity note: reference computes but never uses pa_det
+            # in the HVAE path (vae.py:245-249); posterior uses raw pa.
+
+            if h.shape[1] < res:  # upsample previous layer output
+                b = self._bias_at(res)
+                up = upsample_nearest(h, res)
+                h = up if b is None else b + up
+
+            if block.q_correction:
+                p_input = h
+            else:  # prior depends on previous prior latent only
+                if z.shape[1] < res:
+                    b = self._bias_at(res)
+                    up = upsample_nearest(z, res)
+                    p_input = up if b is None else b + up
+                else:
+                    p_input = z
+            p_loc, p_logscale, p_feat = block.forward_prior(p_input, pa_sto, t=t)
+
+            if block.stochastic:
+                if acts is not None:  # z_i ~ q(z_i | z_<i, x, pa)
+                    q_loc, q_logscale = block.forward_posterior(h, acts[res], pa, t=t)
+                    z = sample_gaussian(self.make_rng("sample"), q_loc, q_logscale)
+                    stat: Dict[str, Any] = dict(
+                        kl=gaussian_kl(q_loc, q_logscale, p_loc, p_logscale)
+                    )
+                    if abduct:
+                        if block.cond_prior:  # z* needs q stats (vae.py:271-276)
+                            stat["z"] = {"z": z, "q_loc": q_loc, "q_logscale": q_logscale}
+                        else:
+                            stat["z"] = z
+                    stats.append(stat)
+                else:
+                    z_given = latents[i]
+                    if z_given is not None:
+                        z = z_given
+                    else:
+                        z = sample_gaussian(self.make_rng("sample"), p_loc, p_logscale)
+                        if abduct and block.cond_prior:  # record p for abducting z*
+                            stats.append(
+                                dict(z={"p_loc": p_loc, "p_logscale": p_logscale})
+                            )
+            else:  # deterministic block
+                z = p_loc
+
+            h = h + p_feat
+            h = h + block.z_proj(jnp.concatenate([z, _bcast_pa(pa, res)], axis=-1))
+            h = block.conv(h)
+
+            if not block.q_correction and (i + 1) < len(self.blocks):
+                # z independent of pa for the next prior (vae.py:297-300)
+                z = block.z_feat_proj(jnp.concatenate([z, p_feat], axis=-1))
+        return h, stats
+
+
+class HVAE(nn.Module):
+    """Conditional hierarchical VAE (reference vae.py:425-523)."""
+
+    cfg: Config
+
+    def setup(self):
+        cfg = self.cfg
+        self.encoder = Encoder(
+            stages=cfg.enc_stages,
+            widths=cfg.widths,
+            bottleneck=cfg.bottleneck,
+            input_channels=cfg.input_channels,
+            version=cfg.block_version,
+        )
+        self.decoder = Decoder(cfg=cfg)
+        self.likelihood = make_likelihood(
+            cfg.input_channels, cfg.widths[0], cfg.x_like, cfg.std_init
+        )
+        self.cond_prior = cfg.cond_prior
+        self.free_bits = cfg.kl_free_bits
+
+    def __call__(
+        self, x: Array, parents: Array, beta: float = 1.0, train: bool = True
+    ) -> Dict[str, Array]:
+        acts = self.encoder(x)
+        h, stats = self.decoder(parents=parents, acts=acts, train=train)
+        nll_pp = self.likelihood.nll(h, x)
+        if self.free_bits > 0:
+            kl_pp = 0.0
+            for stat in stats:
+                kl_pp += jnp.sum(
+                    jnp.maximum(
+                        self.free_bits, jnp.mean(jnp.sum(stat["kl"], axis=(1, 2)), axis=0)
+                    )
+                )
+        else:
+            kl_pp = jnp.zeros_like(nll_pp)
+            for stat in stats:
+                kl_pp += jnp.sum(stat["kl"], axis=(1, 2, 3))
+        kl_pp = kl_pp / math.prod(x.shape[1:])  # per pixel
+        kl_pp = jnp.mean(kl_pp)
+        nll_pp = jnp.mean(nll_pp)
+        nelbo = nll_pp + beta * kl_pp
+        return dict(elbo=nelbo, nll=nll_pp, kl=kl_pp)
+
+    def sample(
+        self, parents: Array, return_loc: bool = True, t: Optional[float] = None
+    ) -> Tuple[Array, Array]:
+        h, _ = self.decoder(parents=parents, t=t)
+        return self.likelihood.sample(h, return_loc, t=t)
+
+    def abduct(
+        self,
+        x: Array,
+        parents: Array,
+        cf_parents: Optional[Array] = None,
+        alpha: float = 0.5,
+        t: Optional[float] = None,
+    ) -> List[Any]:
+        """Infer latents z ~ q(z|x,pa); with cond_prior + cf_parents, return
+        mixture-abducted z* (reference vae.py:466-516)."""
+        acts = self.encoder(x)
+        _, q_stats = self.decoder(parents=parents, acts=acts, abduct=True, t=t)
+        q_stats = [s["z"] for s in q_stats]
+
+        if self.cond_prior and cf_parents is not None:
+            _, p_stats = self.decoder(parents=cf_parents, abduct=True, t=t)
+            p_stats = [s["z"] for s in p_stats]
+            cf_zs = []
+            for q, p in zip(q_stats, p_stats):
+                q_loc, q_scale = q["q_loc"], jnp.exp(q["q_logscale"])
+                u = (q["z"] - q_loc) / q_scale  # exogenous noise u ~ N(0, I)
+                p_loc, p_var = p["p_loc"], jnp.exp(p["p_logscale"]) ** 2
+                # mixture r(z) = a*q + (1-a)*p, independence assumption
+                # (vae.py:495-500; note a^2 weights, unlike simple_vae)
+                r_loc = alpha * q_loc + (1 - alpha) * p_loc
+                r_var = alpha**2 * q_scale**2 + (1 - alpha) ** 2 * p_var
+                r_scale = jnp.sqrt(r_var)
+                if t is not None:
+                    r_scale = r_scale * t
+                cf_zs.append(r_loc + r_scale * u)
+            return cf_zs
+        return q_stats
+
+    def forward_latents(
+        self,
+        latents: Sequence[Optional[Array]],
+        parents: Array,
+        t: Optional[float] = None,
+    ) -> Tuple[Array, Array]:
+        h, _ = self.decoder(latents=latents, parents=parents, t=t)
+        return self.likelihood.sample(h, t=t)
