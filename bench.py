@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark: HVAE train step throughput (images/sec/chip) on Morpho-MNIST.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference repo publishes no throughput numbers (BASELINE.md);
+the self-measured anchor is the reference PyTorch morphomnist HVAE config on
+1x Tesla T4. Until a like-for-like reference run exists, vs_baseline is
+computed against REFERENCE_IMG_PER_SEC below (estimate of the reference
+single-GPU pipeline; update when measured).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Self-measured reference anchor (PyTorch T4, morphomnist HVAE bs=32).
+# Placeholder estimate until the reference is profiled like-for-like.
+REFERENCE_IMG_PER_SEC = 700.0
+
+
+def main() -> None:
+    from causal_gen_tpu.config import get_config
+    from causal_gen_tpu.models.hvae import HVAE
+    from causal_gen_tpu.train.state import init_train_state
+    from causal_gen_tpu.train.vae_trainer import init_model_params, make_train_step
+
+    bs = 256  # large per-chip batch to fill the MXU
+    cfg = get_config("morphomnist", bs=bs)
+    model = HVAE(cfg=cfg)
+    rng = jax.random.PRNGKey(0)
+    params = init_model_params(cfg, model, rng)
+    state = init_train_state(cfg, params)
+    train_step = make_train_step(cfg, model)
+
+    x = np.random.randint(0, 256, (1, bs, 32, 32, 1), np.uint8)
+    pa = np.random.uniform(-1, 1, (1, bs, cfg.context_dim)).astype(np.float32)
+    batch = {"x": jnp.asarray(x), "pa": jnp.asarray(pa)}
+
+    # compile + warmup
+    state, m = train_step(state, batch, jax.random.fold_in(rng, 1))
+    jax.block_until_ready(m)
+    for i in range(2, 5):
+        state, m = train_step(state, batch, jax.random.fold_in(rng, i))
+    jax.block_until_ready(m)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = train_step(state, batch, jax.random.fold_in(rng, 10 + i))
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+
+    img_per_sec = bs * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "hvae_train_images_per_sec_per_chip",
+                "value": round(img_per_sec, 1),
+                "unit": "images/sec",
+                "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Checkpoint save/restore (Orbax).
+
+Port target: reference checkpoint dicts {epoch, step, best_loss, model/ema/
+optimizer state dicts, hparams} written on best validation loss
+(trainer.py:156-168, train_pgm.py:533-546, train_cf.py:516-529). The hparams
+stored inside the checkpoint are authoritative on reload (main.py:31-36) —
+``load_checkpoint`` returns the Config rebuilt from the stored JSON so the
+DSCM merge step can reconstruct each mechanism purely from its checkpoint
+(train_cf.py:303-364).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from causal_gen_tpu.config import Config
+from causal_gen_tpu.train.state import TrainState, init_train_state
+
+
+def save_checkpoint(
+    path: str,
+    cfg: Config,
+    state: TrainState,
+    extra: Optional[Dict[str, Any]] = None,
+) -> None:
+    path = os.path.abspath(path)
+    payload = {
+        "params": jax.device_get(state.params),
+        "ema_params": jax.device_get(state.ema_params),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(jax.device_get(state.step)),
+        "ema_updates": int(jax.device_get(state.ema_updates)),
+        "skipped": int(jax.device_get(state.skipped)),
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, payload, force=True)
+    meta = {"config": cfg.to_dict(), "extra": extra or {}}
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+
+
+def load_checkpoint(
+    path: str, model_init_fn=None
+) -> Tuple[Config, TrainState, Dict[str, Any]]:
+    """Returns (config-from-checkpoint, state, extra). If model_init_fn is
+    given it must return a template TrainState used to restore with correct
+    pytree structure/dtypes; otherwise raw arrays are loaded."""
+    path = os.path.abspath(path)
+    with open(path + ".meta.json") as f:
+        meta = json.load(f)
+    cfg = Config.from_dict(meta["config"])
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = ckptr.restore(path)
+    import jax.numpy as jnp
+
+    state = TrainState(
+        step=jnp.asarray(payload["step"], jnp.int32),
+        ema_updates=jnp.asarray(payload["ema_updates"], jnp.int32),
+        params=payload["params"],
+        ema_params=payload["ema_params"],
+        opt_state=payload["opt_state"],
+        skipped=jnp.asarray(payload.get("skipped", 0), jnp.int32),
+    )
+    return cfg, state, meta.get("extra", {})
