@@ -148,24 +148,30 @@ def sample_scm(
 
 
 def gumbel_posterior(key: Array, logits: Array, k_obs: Array) -> Array:
-    """Exact truncated-Gumbel posterior sample given argmax(g + logits) == k.
+    """Exact truncated-Gumbel posterior sample of the standard-Gumbel noise g
+    given argmax_j(g_j + logits_j) == k (Maddison-style top-down sampling).
 
-    Reference ArgMaxGumbelMax.inv (layers.py:144-168): draw fresh standard
-    Gumbels g; the observed class keeps eps_k = g_k - logit_k (its location-
-    free Gumbel), other classes get Gumbels truncated below via
-    eps_j = -log(exp(-(g_j + logit_j)) + exp(-topgumbel)) - logit_j.
-    ``k_obs``: (B, 1) class index; ``logits``: (B, K).
+    Port note: the reference's ArgMaxGumbelMax.inv (layers.py:144-168)
+    anchors the truncation at topgumbel = g_k - logit_k, which (a) is not the
+    posterior of the max (that is Gumbel(logsumexp(logits))) and (b) violates
+    argmax consistency whenever logit_k < 0 — the very defect its MIMIC
+    "finding restore" hack (flow_pgm.py:96-104) papers over. We sample the
+    exact posterior instead: draw the max M ~ Gumbel(logsumexp(logits)),
+    assign it to class k, and draw every other class as a fresh
+    location-Gumbel truncated below M. argmax(g + logits) == k holds by
+    construction and the distribution is the true conditional.
+
+    ``k_obs``: (B, 1) class index; ``logits``: (B, K). Returns (B, K) g.
     """
-    g = jax.random.gumbel(key, logits.shape)
+    k_top, k_rest = jax.random.split(key)
+    log_z = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+    m = jax.random.gumbel(k_top, log_z.shape) + log_z  # posterior max value
+    g_loc = jax.random.gumbel(k_rest, logits.shape) + logits
+    truncated = -jnp.logaddexp(-m, -g_loc)  # location-Gumbels capped below M
     kk = jnp.asarray(k_obs[..., 0], jnp.int32)
     mask = jax.nn.one_hot(kk, logits.shape[-1], dtype=logits.dtype)
-    topgumbel = jnp.sum(mask * g, axis=-1, keepdims=True) - jnp.sum(
-        mask * logits, axis=-1, keepdims=True
-    )
-    inv_mask = 1.0 - mask
-    gl = g + logits
-    eps = -jnp.log(inv_mask * jnp.exp(-gl) + jnp.exp(-topgumbel)) - inv_mask * logits
-    return eps
+    vals = mask * m + (1.0 - mask) * truncated
+    return vals - logits
 
 
 def infer_exogeneous(

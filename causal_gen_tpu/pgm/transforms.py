@@ -157,7 +157,9 @@ class LinearRationalSpline(Transform):
         return widths, xk, heights, yk, d, lam
 
     def _bin_quantities(self, idx, widths, xk, heights, yk, d, lam):
-        take = lambda a, i: jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0]
+        def take(a, i):
+            a = jnp.broadcast_to(a, (*i.shape, a.shape[-1]))
+            return jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0]
         w = take(widths, idx)
         h = take(heights, idx)
         x0 = take(xk, idx)
@@ -179,13 +181,9 @@ class LinearRationalSpline(Transform):
         K = widths.shape[-1]
         inside = (x > -self.bound) & (x < self.bound)
         xs = jnp.where(inside, x, 0.0)
+        # bin location by broadcast compare (K is tiny; VPU-friendly, no sort)
         idx = jnp.clip(
-            jnp.searchsorted(
-                jnp.broadcast_to(xk, (*bc_shape, K + 1)), xs[..., None], side="right"
-            )[..., 0]
-            - 1,
-            0,
-            K - 1,
+            jnp.sum(xs[..., None] >= xk[..., :-1], axis=-1) - 1, 0, K - 1
         )
         w, h, x0, y0, dk, dk1, lm, wb, wc, yc = self._bin_quantities(
             idx, widths, xk, heights, yk, d, lam
@@ -219,12 +217,7 @@ class LinearRationalSpline(Transform):
         inside = (y > -self.bound) & (y < self.bound)
         ys = jnp.where(inside, y, 0.0)
         idx = jnp.clip(
-            jnp.searchsorted(
-                jnp.broadcast_to(yk, (*bc_shape, K + 1)), ys[..., None], side="right"
-            )[..., 0]
-            - 1,
-            0,
-            K - 1,
+            jnp.sum(ys[..., None] >= yk[..., :-1], axis=-1) - 1, 0, K - 1
         )
         w, h, x0, y0, dk, dk1, lm, wb, wc, yc = self._bin_quantities(
             idx, widths, xk, heights, yk, d, lam
