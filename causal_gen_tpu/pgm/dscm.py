@@ -1,0 +1,181 @@
+"""DSCM: merged mechanisms + full-image counterfactual engine.
+
+Port target: reference src/pgm/dscm.py (DSCM module 16-95, ukbb_preprocess
+98-118, vae_preprocess 121-132) and the Lagrangian objective of
+train_cf.py.
+
+TPU-native redesign: the DSCM is not an nn.Module graph but a composition of
+three (module, params) pairs — frozen PGM, frozen predictor, trainable VAE —
+plus the scalar Lagrange multiplier. The whole abduct-act-predict pipeline
+(PGM counterfactual + HVAE abduction + two decoder passes per particle +
+predictor ELBO + Lagrangian) traces into ONE jittable function; particles are
+a static Python loop inside the program (the reference loops on the host with
+a fresh graph per particle, dscm.py:43-63).
+
+Semantics preserved:
+- pixel-level abduction u = (x - rec_loc)/rec_scale with 1e-12 floor and
+  cf_x = clamp(cf_loc + cf_scale*u, [-1,1]) (dscm.py:55-56)
+- multi-particle mean + Var[X] = E[X^2] - E[X]^2 uncertainty map (58-72)
+- Lagrangian loss = aux - (lmbda - damping*sg(eps - elbo))*(eps - elbo) with
+  sg = stop_gradient (85-88)
+- the UKBB [-1,1] <-> log-standard parent conversion constants (98-118) are
+  preserved bit-for-bit (checkpoint compatibility, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from causal_gen_tpu.config import Config
+from causal_gen_tpu.utils.normalization import get_attr_max_min
+
+# log-standardization constants of the UKBB training set
+# (reference dscm.py:108-117; load-bearing for checkpoint compat)
+UKBB_LOG_STANDARD = {
+    "age": (4.112339973449707, 0.11769197136163712),
+    "brain_volume": (13.965583801269531, 0.09537758678197861),
+    "ventricle_volume": (10.345998764038086, 0.43127763271331787),
+}
+
+
+def ukbb_preprocess(pa: Dict[str, Array]) -> Dict[str, Array]:
+    """[-1,1] PGM parent space -> log-standard VAE parent space
+    (reference dscm.py:98-118)."""
+    out = dict(pa)
+    for k, v in pa.items():
+        if k not in ("mri_seq", "sex"):
+            v01 = (v + 1) / 2
+            _max, _min = get_attr_max_min(k)
+            out[k] = v01 * (_max - _min) + _min
+    for k, (mu, sd) in UKBB_LOG_STANDARD.items():
+        if k in out:
+            out[k] = (jnp.log(jnp.clip(out[k], min=1e-12)) - mu) / sd
+    return out
+
+
+def vae_preprocess(cfg: Config, pa: Dict[str, Array]) -> Array:
+    """Concatenate parents in cfg.parents_x order -> (B, context_dim)
+    (reference dscm.py:121-132; we skip the HxW broadcast — our VAE consumes
+    parent vectors and broadcasts lazily at each conv)."""
+    if "ukbb" in cfg.name:
+        pa = ukbb_preprocess(pa)
+    cols = []
+    for k in cfg.parents_x:
+        v = pa[k]
+        cols.append(v if v.ndim > 1 else v[..., None])
+    return jnp.concatenate(cols, axis=1).astype(jnp.float32)
+
+
+@dataclass
+class DSCM:
+    """Merged-mechanism model (reference dscm.py:16-95).
+
+    ``vae_params``/``lmbda`` are the trainable leaves; ``pgm_params`` and
+    ``predictor_params`` are frozen (stop_gradient applied inside forward,
+    mirroring requires_grad_(False) at dscm.py:21-24).
+    """
+
+    cfg: Config  # VAE config (name/parents_x/beta drive preprocessing)
+    pgm: Any  # BasePGMModule (the causal DAG over attributes)
+    predictor: Any  # BasePGMModule instance used for anticausal_logprob
+    vae: Any  # HVAE or SimpleVAE module
+    elbo_constraint: float = 0.0  # eps (train_cf.py:409)
+    lmbda_init: float = 0.0
+    damping: float = 100.0
+
+    def init_trainable(self, vae_params: Any) -> Dict[str, Any]:
+        return {
+            "vae": vae_params,
+            "lmbda": jnp.full((1,), self.lmbda_init, jnp.float32),
+        }
+
+    def forward(
+        self,
+        trainable: Dict[str, Any],
+        frozen: Dict[str, Any],  # {"pgm": params, "predictor": params}
+        obs: Dict[str, Array],
+        do: Dict[str, Array],
+        rng: Array,
+        cf_particles: int = 1,
+        beta: Optional[float] = None,
+        t_abduct: Optional[float] = None,
+    ) -> Dict[str, Any]:
+        cfg = self.cfg
+        beta = cfg.beta if beta is None else beta
+        vae_params = trainable["vae"]
+        lmbda = trainable["lmbda"]
+        pgm_params = jax.lax.stop_gradient(frozen["pgm"])
+        pred_params = jax.lax.stop_gradient(frozen["predictor"])
+
+        x = obs["x"]
+        pa = {k: v for k, v in obs.items() if k != "x"}
+        _pa = vae_preprocess(cfg, pa)
+
+        r_fact, r_loop = jax.random.split(rng)
+        vae_out = self.vae.apply(
+            {"params": vae_params}, x, _pa, beta=beta, train=False,
+            rngs={"sample": r_fact},
+        )
+
+        cf_sum = jnp.zeros_like(x)
+        cf_sq = jnp.zeros_like(x)
+        cf_pa: Dict[str, Array] = {}
+        for p in range(cf_particles):
+            kp = jax.random.fold_in(r_loop, p)
+            k1, k2, k3, k4 = jax.random.split(kp, 4)
+            cf_pa = self.pgm.apply(
+                {"params": pgm_params}, pa, do,
+                method=self.pgm.counterfactual, rngs={"sample": k1},
+            )
+            _cf_pa = vae_preprocess(cfg, cf_pa)
+            zs = self.vae.apply(
+                {"params": vae_params}, x, _pa, t=t_abduct,
+                method=self.vae.abduct, rngs={"sample": k2},
+            )
+            cf_loc, cf_scale = self.vae.apply(
+                {"params": vae_params}, zs, _cf_pa,
+                method=self.vae.forward_latents, rngs={"sample": k3},
+            )
+            rec_loc, rec_scale = self.vae.apply(
+                {"params": vae_params}, zs, _pa,
+                method=self.vae.forward_latents, rngs={"sample": k4},
+            )
+            u = (x - rec_loc) / jnp.clip(rec_scale, min=1e-12)
+            cf_x = jnp.clip(cf_loc + cf_scale * u, -1.0, 1.0)
+            cf_sum = cf_sum + cf_x
+            cf_sq = cf_sq + jax.lax.stop_gradient(cf_x) ** 2
+
+        cf_x_mean = cf_sum / cf_particles
+        if cf_particles > 1:
+            var_cf_x = jax.lax.stop_gradient(
+                (cf_sq - cf_sum**2 / cf_particles) / cf_particles
+            )
+        else:
+            var_cf_x = None
+
+        cfs = {"x": cf_x_mean, **cf_pa}
+        bs = x.shape[0]
+        aux_lps = self.predictor.apply(
+            {"params": pred_params}, cfs["x"],
+            method=self.predictor.anticausal_logprob,
+            rngs={"sample": rng}, **cf_pa,
+        )
+        aux_loss = -sum(jnp.sum(v) for v in aux_lps.values()) / bs
+
+        # Lagrangian with damping (dscm.py:85-88)
+        constraint = self.elbo_constraint - vae_out["elbo"]
+        sg = jax.lax.stop_gradient(constraint)
+        damp = self.damping * sg
+        loss = aux_loss - jnp.sum((lmbda - damp) * constraint)
+
+        out = dict(vae_out)
+        out.update(
+            {"loss": loss, "aux_loss": aux_loss, "cfs": cfs, "var_cf_x": var_cf_x}
+        )
+        return out

@@ -1,0 +1,235 @@
+"""Counterfactual fine-tuning of the merged DSCM.
+
+Port target: reference src/pgm/train_cf.py (cf_epoch 111-220, dual optimizers
+444-457, metrics 63-108, main 223-538).
+
+TPU-native redesign: one jitted step runs the whole DSCM forward (PGM
+counterfactual + 3 HVAE decoder passes per particle + predictor ELBO +
+Lagrangian), both optimizer updates (AdamW on the VAE params; ascent-AdamW on
+the Lagrange multiplier via optax scale(-1)), the lambda >= 0 clamp, grad
+clip/skip and NaN skip as branchless selects, and the EMA update — where the
+reference round-trips the host for each of these (train_cf.py:166-180).
+
+Random single-parent interventions are drawn on the host per batch
+(do(pa_k) = batch values permuted for train; train-set resamples for eval,
+train_cf.py:145-153); the jit re-specializes once per intervened-variable
+name (bounded by |DAG|+1 variants).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from causal_gen_tpu.data.loader import Loader
+from causal_gen_tpu.pgm.dscm import DSCM
+from causal_gen_tpu.pgm.train_pgm import PGMConfig, preprocess_pgm_batch
+from causal_gen_tpu.train.state import clip_by_global_norm
+from causal_gen_tpu.utils.ema import ema_update
+
+log = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class CFConfig:
+    """Hparams of the counterfactual-training entry
+    (reference train_cf.py:223-284)."""
+
+    seed: int = 7
+    epochs: int = 5000
+    bs: int = 32
+    lr: float = 1e-4
+    lr_lagrange: float = 1e-2
+    ema_rate: float = 0.999
+    alpha: float = 1.0  # aux loss stat multiplier
+    lmbda_init: float = 0.0
+    damping: float = 100.0
+    do_pa: Optional[str] = None
+    eval_freq: int = 1
+    cf_particles: int = 1
+    # inherited from the VAE checkpoint (train_cf.py:404-411)
+    beta: float = 1.0
+    grad_clip: float = 350.0
+    grad_skip: float = 500.0
+    wd: float = 0.01
+    betas: Tuple[float, float] = (0.9, 0.9)
+    elbo_constraint: float = 0.0
+
+
+@flax.struct.dataclass
+class CFTrainState:
+    step: jax.Array
+    ema_updates: jax.Array
+    trainable: Any  # {"vae": vae_params, "lmbda": (1,)}
+    ema_trainable: Any
+    opt_state: Any
+    lagrange_opt_state: Any
+    skipped: jax.Array
+
+
+def make_cf_optimizers(cfg: CFConfig):
+    opt = optax.adamw(
+        cfg.lr, b1=cfg.betas[0], b2=cfg.betas[1], weight_decay=cfg.wd
+    )
+    # maximize=True AdamW on lambda (train_cf.py:450-457): flip the gradient,
+    # no weight decay
+    lagrange_opt = optax.chain(
+        optax.scale(-1.0),
+        optax.adamw(cfg.lr_lagrange, b1=cfg.betas[0], b2=cfg.betas[1], weight_decay=0.0),
+    )
+    return opt, lagrange_opt
+
+
+def init_cf_state(cfg: CFConfig, dscm: DSCM, vae_params: Any) -> CFTrainState:
+    trainable = dscm.init_trainable(vae_params)
+    opt, lagrange_opt = make_cf_optimizers(cfg)
+    return CFTrainState(
+        step=jnp.zeros((), jnp.int32),
+        ema_updates=jnp.zeros((), jnp.int32),
+        trainable=trainable,
+        ema_trainable=jax.tree.map(jnp.copy, trainable),
+        opt_state=opt.init(trainable["vae"]),
+        lagrange_opt_state=lagrange_opt.init(trainable["lmbda"]),
+        skipped=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_cf_train_step(cfg: CFConfig, dscm: DSCM, frozen: Dict[str, Any],
+                       donate: bool = True):
+    opt, lagrange_opt = make_cf_optimizers(cfg)
+
+    def loss_fn(trainable, batch, do, rng):
+        out = dscm.forward(
+            trainable, frozen, batch, do, rng,
+            cf_particles=cfg.cf_particles, beta=cfg.beta,
+        )
+        return out["loss"], out
+
+    def train_step(state: CFTrainState, batch, do, rng):
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable, batch, do, rng
+        )
+        grads, grad_norm = clip_by_global_norm(grads, cfg.grad_clip)
+        nan_found = jnp.isnan(loss) | jnp.isnan(grad_norm)
+        ok = (grad_norm < cfg.grad_skip) & ~nan_found
+
+        vae_updates, new_opt_state = opt.update(
+            grads["vae"], state.opt_state, state.trainable["vae"]
+        )
+        new_vae = optax.apply_updates(state.trainable["vae"], vae_updates)
+        l_updates, new_l_state = lagrange_opt.update(
+            grads["lmbda"], state.lagrange_opt_state, state.trainable["lmbda"]
+        )
+        new_lmbda = jnp.clip(
+            optax.apply_updates(state.trainable["lmbda"], l_updates), min=0.0
+        )  # lambda >= 0 clamp (train_cf.py:176-177)
+        new_trainable = {"vae": new_vae, "lmbda": new_lmbda}
+
+        sel = lambda a, b: jax.tree.map(
+            lambda x_new, x_old: jnp.where(ok, x_new, x_old), a, b
+        )
+        new_trainable = sel(new_trainable, state.trainable)
+        new_opt_state = sel(new_opt_state, state.opt_state)
+        new_l_state = sel(new_l_state, state.lagrange_opt_state)
+        new_ema_updates = state.ema_updates + ok.astype(jnp.int32)
+        new_ema = ema_update(
+            state.ema_trainable, new_trainable, new_ema_updates, beta=cfg.ema_rate
+        )
+        new_ema = sel(new_ema, state.ema_trainable)
+
+        metrics = {
+            "loss": out["loss"],
+            "aux_loss": out["aux_loss"],
+            "elbo": out["elbo"],
+            "nll": out["nll"],
+            "kl": out["kl"],
+            "lmbda": state.trainable["lmbda"][0],
+            "grad_norm": grad_norm,
+            "skipped": (~ok).astype(jnp.float32),
+        }
+        return (
+            state.replace(
+                step=state.step + ok.astype(jnp.int32),
+                ema_updates=new_ema_updates,
+                trainable=new_trainable,
+                ema_trainable=new_ema,
+                opt_state=new_opt_state,
+                lagrange_opt_state=new_l_state,
+                skipped=state.skipped + (1 - ok.astype(jnp.int32)),
+            ),
+            metrics,
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_cf_eval_step(cfg: CFConfig, dscm: DSCM, frozen: Dict[str, Any]):
+    """Forward + predictor sweep on counterfactuals (train_cf.py:181-189)."""
+
+    def eval_step(trainable, batch, do, rng):
+        out = dscm.forward(
+            trainable, frozen, batch, do, rng,
+            cf_particles=cfg.cf_particles, beta=cfg.beta,
+        )
+        cfs = out["cfs"]
+        cf_pa = {k: v for k, v in cfs.items() if k != "x"}
+        preds = dscm.predictor.apply(
+            {"params": frozen["predictor"]}, cfs["x"],
+            method=dscm.predictor.predict, rngs={"sample": rng}, **cf_pa,
+        )
+        return (
+            {k: out[k] for k in ("loss", "aux_loss", "elbo", "nll", "kl")},
+            preds,
+            cfs,
+        )
+
+    return jax.jit(eval_step)
+
+
+def random_intervention(
+    rng: np.random.Generator,
+    dag_vars: Tuple[str, ...],
+    batch: Dict[str, jnp.ndarray],
+    do_pa: Optional[str] = None,
+) -> Dict[str, jnp.ndarray]:
+    """do(pa_k) with values permuted within the batch (train_cf.py:145-149)."""
+    do_k = do_pa if do_pa else dag_vars[rng.integers(0, len(dag_vars))]
+    perm = rng.permutation(batch[do_k].shape[0])
+    return {do_k: batch[do_k][perm]}
+
+
+def cf_train_epoch(
+    cfg: CFConfig,
+    pgm_cfg: PGMConfig,
+    dscm: DSCM,
+    state: CFTrainState,
+    frozen: Dict[str, Any],
+    loader: Loader,
+    train_step,
+    rng: jax.Array,
+    epoch: int,
+    host_rng: np.random.Generator,
+) -> Tuple[CFTrainState, Dict[str, float]]:
+    dag_vars = tuple(dscm.pgm.dag_variables.keys())
+    stats = {k: 0.0 for k in ["loss", "aux_loss", "elbo", "nll", "kl"]}
+    n = 0
+    for i, raw in enumerate(loader):
+        batch = preprocess_pgm_batch(pgm_cfg, raw)
+        do = random_intervention(host_rng, dag_vars, batch, cfg.do_pa)
+        key = jax.random.fold_in(rng, epoch * 100000 + i)
+        state, m = train_step(state, batch, do, key)
+        if bool(jax.device_get(m["skipped"])):
+            continue
+        bs = batch["x"].shape[0]
+        n += bs
+        for k in stats:
+            scale = cfg.alpha if k == "aux_loss" else 1.0
+            stats[k] += float(m[k]) * scale * bs
+    return state, {k: v / max(n, 1) for k, v in stats.items()}
