@@ -1,0 +1,116 @@
+"""HVAE/VAE training CLI.
+
+Port target: reference src/main.py (argparse + setup + trainer dispatch).
+Usage: python -m causal_gen_tpu.cli.main --hps morphomnist --epochs 10 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train the image mechanism (HVAE/VAE).")
+    p.add_argument("--hps", default="morphomnist", help="config registry name")
+    p.add_argument("--exp_name", default="")
+    p.add_argument("--data_dir", default="")
+    p.add_argument("--save_dir", default="")
+    p.add_argument("--resume", default="", help="checkpoint path to resume")
+    p.add_argument("--seed", type=int)
+    p.add_argument("--max_batches", type=int, default=None,
+                   help="cap batches/epoch (smoke runs)")
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--bs", type=int)
+    p.add_argument("--lr", type=float)
+    p.add_argument("--lr_warmup_steps", type=int)
+    p.add_argument("--wd", type=float)
+    p.add_argument("--beta", type=float)
+    p.add_argument("--beta_warmup_steps", type=int)
+    p.add_argument("--accu_steps", type=int)
+    p.add_argument("--eval_freq", type=int)
+    p.add_argument("--viz_freq", type=int)
+    p.add_argument("--vae", choices=["hierarchical", "simple"])
+    p.add_argument("--x_like", type=str)
+    p.add_argument("--z_max_res", type=int)
+    p.add_argument("--cond_prior", action="store_true", default=None)
+    p.add_argument("--q_correction", action="store_true", default=None)
+    p.add_argument("--kl_free_bits", type=float)
+    return p
+
+
+def main(argv: Optional[list] = None) -> None:
+    from causal_gen_tpu.config import get_config
+    from causal_gen_tpu.data.datasets import setup_datasets
+    from causal_gen_tpu.data.loader import setup_loaders
+    from causal_gen_tpu.models.hvae import HVAE
+    from causal_gen_tpu.models.simple_vae import SimpleVAE
+    from causal_gen_tpu.train.checkpoint import load_checkpoint
+    from causal_gen_tpu.train.experiment import (
+        MetricWriter,
+        setup_directories,
+        setup_logging,
+    )
+    from causal_gen_tpu.train.vae_trainer import train
+    from causal_gen_tpu.utils.viz import write_images
+
+    args, _ = build_parser().parse_known_args(argv)
+    overrides = {
+        k: v
+        for k, v in vars(args).items()
+        if v is not None
+        and k not in ("hps", "resume", "save_dir", "exp_name", "max_batches")
+        and v != ""
+    }
+
+    init_state = None
+    if args.resume and os.path.exists(args.resume + ".meta.json"):
+        # hparams stored in the checkpoint are authoritative (main.py:31-36)
+        cfg, init_state, extra = load_checkpoint(args.resume)
+        cfg = cfg.replace(**{k: v for k, v in overrides.items() if k in ("lr", "epochs", "data_dir")})
+    else:
+        cfg = get_config(args.hps, **overrides)
+
+    save_dir = args.save_dir or os.path.join(
+        "checkpoints", cfg.name, args.exp_name or "default"
+    )
+    setup_directories(save_dir)
+    logger = setup_logging(save_dir)
+    writer = MetricWriter(save_dir)
+    writer.add_hparams(cfg.to_dict())
+    logger.info("devices: %s", jax.devices())
+
+    datasets = setup_datasets(cfg)
+    loaders = setup_loaders(datasets, cfg.bs, seed=cfg.seed, max_batches=args.max_batches)
+
+    model = SimpleVAE(cfg=cfg) if cfg.vae == "simple" else HVAE(cfg=cfg)
+
+    viz_batch = datasets["valid"].batch(
+        np.arange(min(cfg.context_dim * 5, cfg.bs))
+    )
+
+    def callback(epoch, state, history):
+        writer.add_scalars(history, epoch)
+        if cfg.viz_freq and epoch % max(1, cfg.viz_freq // 1000) == 0:
+            try:
+                write_images(
+                    cfg, model, state.ema_params, viz_batch,
+                    os.path.join(save_dir, f"viz-{epoch}.png"),
+                )
+            except Exception as e:  # viz must never kill training
+                logger.warning("viz failed: %s", e)
+
+    state, history = train(
+        cfg, model, loaders, save_dir=save_dir, callback=callback,
+        init_state=init_state,
+    )
+    logger.info("done: %s", history)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Counterfactual fine-tuning CLI: merge 3 checkpoints -> train the DSCM.
+
+Port target: reference src/pgm/train_cf.py:223-538 (main): load pgm /
+predictor / vae checkpoints (each module rebuilt purely from the hparams
+stored inside its checkpoint, train_cf.py:303-364), merge into the DSCM,
+train with dual optimizers, periodic per-parent valid sweeps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Counterfactual DSCM fine-tuning.")
+    p.add_argument("--pgm_path", required=True)
+    p.add_argument("--predictor_path", required=True)
+    p.add_argument("--vae_path", required=True)
+    p.add_argument("--exp_name", default="")
+    p.add_argument("--data_dir", default="")
+    p.add_argument("--save_dir", default="")
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--max_batches", type=int, default=None,
+                   help="cap batches/epoch (smoke runs)")
+    p.add_argument("--epochs", type=int, default=5000)
+    p.add_argument("--bs", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_lagrange", type=float, default=1e-2)
+    p.add_argument("--ema_rate", type=float, default=0.999)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--lmbda_init", type=float, default=0.0)
+    p.add_argument("--damping", type=float, default=100.0)
+    p.add_argument("--do_pa", default=None)
+    p.add_argument("--eval_freq", type=int, default=1)
+    p.add_argument("--cf_particles", type=int, default=1)
+    p.add_argument("--elbo_constraint", type=float, default=None,
+                   help="eps; defaults to the stored best valid ELBO of the "
+                        "VAE checkpoint (reference hard-codes the UKBB train "
+                        "ELBO 1.8412..., train_cf.py:409)")
+    return p
+
+
+def build_pgm_from_ckpt(path: str, setup_predictors: bool):
+    from causal_gen_tpu.pgm.flow_pgm import PGM_REGISTRY
+    from causal_gen_tpu.pgm.train_pgm import load_pgm_checkpoint
+
+    cfg, state, extra = load_pgm_checkpoint(path)
+    for prefix, cls in PGM_REGISTRY.items():
+        if cfg.dataset.startswith(prefix):
+            kw = dict(
+                std_fixed=cfg.std_fixed,
+                setup_predictors=setup_predictors,
+                input_res=cfg.input_res,
+                input_channels=cfg.input_channels,
+            )
+            if cls.__name__ != "ColourMNISTPGM":
+                kw["widths"] = tuple(cfg.widths)
+            return cfg, cls(**kw), state
+    raise KeyError(cfg.dataset)
+
+
+def main(argv: Optional[list] = None) -> None:
+    from causal_gen_tpu.data.datasets import setup_datasets
+    from causal_gen_tpu.data.loader import setup_loaders
+    from causal_gen_tpu.models.hvae import HVAE
+    from causal_gen_tpu.models.simple_vae import SimpleVAE
+    from causal_gen_tpu.pgm.dscm import DSCM
+    from causal_gen_tpu.pgm.train_cf import (
+        CFConfig,
+        cf_train_epoch,
+        init_cf_state,
+        make_cf_train_step,
+    )
+    from causal_gen_tpu.pgm.train_pgm import PGMConfig
+    from causal_gen_tpu.train.checkpoint import load_checkpoint
+    from causal_gen_tpu.train.experiment import (
+        MetricWriter,
+        setup_directories,
+        setup_logging,
+    )
+
+    args, _ = build_parser().parse_known_args(argv)
+
+    # rebuild each mechanism from its own checkpoint hparams
+    pgm_cfg, pgm, pgm_state = build_pgm_from_ckpt(args.pgm_path, False)
+    pred_cfg, predictor, pred_state = build_pgm_from_ckpt(args.predictor_path, True)
+    vae_cfg, vae_state, vae_extra = load_checkpoint(args.vae_path)
+    if args.data_dir:
+        vae_cfg = vae_cfg.replace(data_dir=args.data_dir)
+    vae = SimpleVAE(cfg=vae_cfg) if vae_cfg.vae == "simple" else HVAE(cfg=vae_cfg)
+
+    eps = (
+        args.elbo_constraint
+        if args.elbo_constraint is not None
+        else float(vae_extra.get("best_loss", 0.0))
+    )
+    cfg = CFConfig(
+        seed=args.seed, epochs=args.epochs, bs=args.bs, lr=args.lr,
+        lr_lagrange=args.lr_lagrange, ema_rate=args.ema_rate, alpha=args.alpha,
+        lmbda_init=args.lmbda_init, damping=args.damping, do_pa=args.do_pa,
+        eval_freq=args.eval_freq, cf_particles=args.cf_particles,
+        beta=vae_cfg.beta, grad_clip=vae_cfg.grad_clip,
+        grad_skip=vae_cfg.grad_skip, wd=vae_cfg.wd, betas=vae_cfg.betas,
+        elbo_constraint=eps,
+    )
+    save_dir = args.save_dir or os.path.join(
+        "checkpoints", f"cf_{pgm_cfg.dataset}", args.exp_name or "default"
+    )
+    setup_directories(save_dir)
+    logger = setup_logging(save_dir)
+    writer = MetricWriter(save_dir)
+
+    dscm = DSCM(
+        cfg=vae_cfg, pgm=pgm, predictor=predictor, vae=vae,
+        elbo_constraint=eps, lmbda_init=cfg.lmbda_init, damping=cfg.damping,
+    )
+    frozen = {"pgm": pgm_state.ema_params, "predictor": pred_state.ema_params}
+    state = init_cf_state(cfg, dscm, vae_state.ema_params)
+    train_step = make_cf_train_step(cfg, dscm, frozen)
+
+    datasets = setup_datasets(vae_cfg)
+    loaders = setup_loaders(datasets, cfg.bs, seed=cfg.seed, concat_pa=False, max_batches=args.max_batches)
+    rng = jax.random.PRNGKey(cfg.seed)
+    host_rng = np.random.default_rng(cfg.seed)
+    for epoch in range(1, cfg.epochs + 1):
+        state, stats = cf_train_epoch(
+            cfg, pgm_cfg, dscm, state, frozen, loaders["train"], train_step,
+            rng, epoch, host_rng,
+        )
+        logger.info("epoch %d | %s", epoch, stats)
+        writer.add_scalars(stats, epoch, prefix="train/")
+
+
+if __name__ == "__main__":
+    main()

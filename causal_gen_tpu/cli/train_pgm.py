@@ -1,0 +1,120 @@
+"""PGM / predictor training CLI.
+
+Port target: reference src/pgm/train_pgm.py:313-567 (main).
+Usage: python -m causal_gen_tpu.cli.train_pgm --dataset morphomnist
+       --setup sup_pgm ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train PGM / anticausal predictors.")
+    p.add_argument("--dataset", default="morphomnist")
+    p.add_argument("--setup", default="sup_pgm",
+                   choices=["sup_pgm", "sup_aux", "semi_sup"])
+    p.add_argument("--exp_name", default="")
+    p.add_argument("--data_dir", default="")
+    p.add_argument("--save_dir", default="")
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--max_batches", type=int, default=None,
+                   help="cap batches/epoch (smoke runs)")
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--bs", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--wd", type=float, default=0.1)
+    p.add_argument("--input_res", type=int, default=32)
+    p.add_argument("--input_channels", type=int, default=1)
+    p.add_argument("--eval_freq", type=int, default=1)
+    p.add_argument("--widths", nargs="+", type=int, default=[32, 32])
+    p.add_argument("--parents_x", nargs="+", default=[])
+    p.add_argument("--alpha", type=float, default=1e-3)
+    p.add_argument("--std_fixed", type=float, default=0.0)
+    p.add_argument("--sup_frac", type=float, default=1.0)
+    return p
+
+
+def build_pgm(cfg):
+    from causal_gen_tpu.pgm.flow_pgm import PGM_REGISTRY
+
+    for prefix, cls in PGM_REGISTRY.items():
+        if cfg.dataset.startswith(prefix):
+            return cls(
+                widths=tuple(cfg.widths),
+                std_fixed=cfg.std_fixed,
+                setup_predictors=(cfg.setup != "sup_pgm"),
+                input_res=cfg.input_res,
+                input_channels=cfg.input_channels,
+            ) if cls.__name__ != "ColourMNISTPGM" else cls(
+                std_fixed=cfg.std_fixed,
+                setup_predictors=(cfg.setup != "sup_pgm"),
+                input_res=cfg.input_res,
+                input_channels=cfg.input_channels,
+            )
+    raise KeyError(cfg.dataset)
+
+
+def main(argv: Optional[list] = None) -> None:
+    from causal_gen_tpu.config import get_config
+    from causal_gen_tpu.data.datasets import setup_datasets
+    from causal_gen_tpu.data.loader import setup_loaders
+    from causal_gen_tpu.pgm.train_pgm import PGMConfig, pgm_eval_metrics, train_pgm
+    from causal_gen_tpu.train.experiment import (
+        MetricWriter,
+        setup_directories,
+        setup_logging,
+    )
+
+    args, _ = build_parser().parse_known_args(argv)
+    cfg = PGMConfig(
+        dataset=args.dataset,
+        setup=args.setup,
+        seed=args.seed,
+        epochs=args.epochs,
+        bs=args.bs,
+        lr=args.lr,
+        wd=args.wd,
+        input_res=args.input_res,
+        input_channels=args.input_channels,
+        eval_freq=args.eval_freq,
+        widths=tuple(args.widths),
+        parents_x=tuple(args.parents_x),
+        alpha=args.alpha,
+        std_fixed=args.std_fixed,
+        sup_frac=args.sup_frac,
+    )
+    save_dir = args.save_dir or os.path.join(
+        "checkpoints", f"{cfg.setup}_{cfg.dataset}", args.exp_name or "default"
+    )
+    setup_directories(save_dir)
+    logger = setup_logging(save_dir)
+    writer = MetricWriter(save_dir)
+    writer.add_hparams(dataclasses.asdict(cfg))
+
+    data_cfg = get_config(
+        cfg.dataset if cfg.dataset in ("morphomnist", "cmnist") else
+        ("ukbb64" if "ukbb" in cfg.dataset else "mimic192"),
+        data_dir=args.data_dir,
+    )
+    datasets = setup_datasets(data_cfg)
+    loaders = setup_loaders(datasets, cfg.bs, seed=cfg.seed, concat_pa=False, max_batches=args.max_batches)
+
+    model = build_pgm(cfg)
+    state, history = train_pgm(cfg, model, loaders, save_dir=save_dir)
+    writer.add_scalars(history, cfg.epochs)
+    if cfg.setup != "sup_pgm":
+        metrics = pgm_eval_metrics(cfg, model, state.ema_params, loaders["valid"])
+        logger.info("eval metrics: %s", metrics)
+        writer.add_scalars(metrics, cfg.epochs, prefix="eval/")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,23 +26,28 @@ class Loader:
         drop_last: bool = True,
         seed: int = 0,
         concat_pa: bool = True,
+        max_batches: Optional[int] = None,
     ):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.concat_pa = concat_pa
+        self.max_batches = max_batches  # cap for smoke/profiling runs
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
         n = len(self.ds)
-        return n // self.bs if self.drop_last else -(-n // self.bs)
+        n_b = n // self.bs if self.drop_last else -(-n // self.bs)
+        return min(n_b, self.max_batches) if self.max_batches else n_b
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.ds)
         order = self._rng.permutation(n) if self.shuffle else np.arange(n)
         stop = (n // self.bs) * self.bs if self.drop_last else n
-        for i in range(0, stop, self.bs):
+        for k, i in enumerate(range(0, stop, self.bs)):
+            if self.max_batches is not None and k >= self.max_batches:
+                return
             idx = order[i : i + self.bs]
             yield self.ds.batch(idx, rng=self._rng, concat_pa=self.concat_pa)
 
@@ -52,6 +57,7 @@ def setup_loaders(
     batch_size: int,
     seed: int = 0,
     concat_pa: bool = True,
+    max_batches: Optional[int] = None,
 ) -> Dict[str, Loader]:
     return {
         split: Loader(
@@ -61,6 +67,7 @@ def setup_loaders(
             drop_last=(split == "train"),
             seed=seed + i,
             concat_pa=concat_pa,
+            max_batches=max_batches,
         )
         for i, (split, ds) in enumerate(datasets.items())
     }

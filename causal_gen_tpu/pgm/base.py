@@ -230,6 +230,81 @@ def counterfactual(
     return avg
 
 
+def counterfactual_dense(
+    nodes: Sequence[Node],
+    key: Array,
+    obs: Dict[str, Array],
+    do_values: Dict[str, Array],
+    do_mask: Dict[str, Array],
+    num_particles: int = 1,
+    discrete_variables: Optional[Dict[str, str]] = None,
+    detach: bool = True,
+) -> Dict[str, Array]:
+    """Dense-intervention counterfactual: ONE compiled program for every
+    intervention pattern.
+
+    No reference counterpart (the reference re-traces per do-dict). The
+    intervention is encoded as per-variable (B, d) ``do_values`` plus (B, 1)
+    0/1 ``do_mask`` arrays covering ALL DAG variables, selected with
+    jnp.where inside the trace — so the counterfactual-training loop
+    (train_cf.py random per-batch do(pa_k)) never re-specializes the XLA
+    program. The MIMIC finding-restore hack becomes a traced mask too.
+    """
+    n = next(iter(obs.values())).shape[0]
+    var_names = [nd.name for nd in nodes]
+    avg = {k: jnp.zeros_like(obs[k]) for k in var_names}
+    for p in range(num_particles):
+        key, k1, k2 = jax.random.split(key, 3)
+        noise = infer_exogeneous(nodes, k1, obs)
+        if detach:
+            noise = jax.tree.map(jax.lax.stop_gradient, noise)
+        for nd in nodes:
+            if (nd.name + "_base") not in noise:
+                noise[nd.name] = obs[nd.name]
+        # forward the SCM once with every node masked toward its do value
+        values: Dict[str, Array] = {}
+        for nd in nodes:
+            k2, sub = jax.random.split(k2)
+            base_name = nd.name + "_base"
+            if nd.kind in (BINARY_ROOT, CATEGORICAL_ROOT):
+                v = noise.get(nd.name)
+                if v is None:
+                    v = (
+                        _bernoulli_sample(sub, nd.logits_fn(), n)
+                        if nd.kind == BINARY_ROOT
+                        else _onehot_sample(sub, nd.logits_fn(), n)
+                    )
+            elif nd.kind == FLOW:
+                u = noise.get(base_name)
+                if u is None:
+                    u = jax.random.normal(sub, (n, nd.dim))
+                v, _ = nd.transform_fn(values).forward(u)
+            elif nd.kind == GUMBEL_MAX:
+                logits = nd.logits_fn(values)
+                g = noise.get(base_name)
+                if g is None:
+                    g = jax.random.gumbel(sub, logits.shape)
+                v = jnp.argmax(g + logits, axis=-1, keepdims=True).astype(
+                    jnp.float32
+                )
+            if nd.name in do_values:
+                m = do_mask[nd.name]
+                v = jnp.where(m > 0, do_values[nd.name], v)
+            values[nd.name] = v
+        if discrete_variables is not None and "finding" in (
+            discrete_variables or {}
+        ):
+            restore = (1.0 - do_mask.get("age", jnp.zeros((n, 1)))) * (
+                1.0 - do_mask.get("finding", jnp.zeros((n, 1)))
+            )
+            values["finding"] = jnp.where(
+                restore > 0, obs["finding"], values["finding"]
+            )
+        for k in var_names:
+            avg[k] = avg[k] + values[k] / num_particles
+    return avg
+
+
 # ---------------------------------------------------------------------------
 # Site log-probs (replaces Pyro TransformedDistribution.log_prob composition)
 # ---------------------------------------------------------------------------

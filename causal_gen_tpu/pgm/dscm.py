@@ -105,7 +105,11 @@ class DSCM:
         cf_particles: int = 1,
         beta: Optional[float] = None,
         t_abduct: Optional[float] = None,
+        do_mask: Optional[Dict[str, Array]] = None,
     ) -> Dict[str, Any]:
+        """When ``do_mask`` is given, ``do`` must contain (B, d) values for
+        every masked variable and the dense one-program counterfactual path
+        is used (no per-intervention recompilation)."""
         cfg = self.cfg
         beta = cfg.beta if beta is None else beta
         vae_params = trainable["vae"]
@@ -129,10 +133,16 @@ class DSCM:
         for p in range(cf_particles):
             kp = jax.random.fold_in(r_loop, p)
             k1, k2, k3, k4 = jax.random.split(kp, 4)
-            cf_pa = self.pgm.apply(
-                {"params": pgm_params}, pa, do,
-                method=self.pgm.counterfactual, rngs={"sample": k1},
-            )
+            if do_mask is not None:
+                cf_pa = self.pgm.apply(
+                    {"params": pgm_params}, pa, do, do_mask,
+                    method=self.pgm.counterfactual_dense, rngs={"sample": k1},
+                )
+            else:
+                cf_pa = self.pgm.apply(
+                    {"params": pgm_params}, pa, do,
+                    method=self.pgm.counterfactual, rngs={"sample": k1},
+                )
             _cf_pa = vae_preprocess(cfg, cf_pa)
             zs = self.vae.apply(
                 {"params": vae_params}, x, _pa, t=t_abduct,

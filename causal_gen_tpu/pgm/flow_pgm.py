@@ -106,6 +106,27 @@ class BasePGMModule(nn.Module):
             detach=detach,
         )
 
+    def counterfactual_dense(
+        self,
+        obs: Dict[str, Array],
+        do_values: Dict[str, Array],
+        do_mask: Dict[str, Array],
+        num_particles: int = 1,
+        detach: bool = True,
+    ) -> Dict[str, Array]:
+        """Dense-intervention counterfactual (one XLA program for every
+        intervention pattern; see base.counterfactual_dense)."""
+        return base.counterfactual_dense(
+            self._nodes(),
+            self.make_rng("sample"),
+            obs,
+            do_values,
+            do_mask,
+            num_particles=num_particles,
+            discrete_variables=self.discrete_variables,
+            detach=detach,
+        )
+
     def svi_logprob(self, obs: Dict[str, Array]) -> Dict[str, Array]:
         """Per-site log p(obs) (reference svi_model under Trace_ELBO with the
         empty guide_pass reduces to the negative joint log-prob)."""
@@ -114,6 +135,14 @@ class BasePGMModule(nn.Module):
     def __call__(self, obs: Dict[str, Array]) -> Dict[str, Array]:
         # default apply surface: joint log-prob (used for param init)
         return self.svi_logprob(obs)
+
+    def init_all(self, x: Optional[Array], obs: Dict[str, Array]):
+        """Init surface touching BOTH the SCM params and (when present) the
+        predictor params, so semi-supervised training sees a complete tree."""
+        lps = self.svi_logprob(obs)
+        if x is not None and getattr(self, "setup_predictors", False):
+            lps = {**lps, **self.anticausal_logprob(x, **obs)}
+        return lps
 
 
 # ---------------------------------------------------------------------------

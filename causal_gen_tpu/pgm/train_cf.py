@@ -105,16 +105,16 @@ def make_cf_train_step(cfg: CFConfig, dscm: DSCM, frozen: Dict[str, Any],
                        donate: bool = True):
     opt, lagrange_opt = make_cf_optimizers(cfg)
 
-    def loss_fn(trainable, batch, do, rng):
+    def loss_fn(trainable, batch, do, do_mask, rng):
         out = dscm.forward(
             trainable, frozen, batch, do, rng,
-            cf_particles=cfg.cf_particles, beta=cfg.beta,
+            cf_particles=cfg.cf_particles, beta=cfg.beta, do_mask=do_mask,
         )
         return out["loss"], out
 
-    def train_step(state: CFTrainState, batch, do, rng):
+    def train_step(state: CFTrainState, batch, do, do_mask, rng):
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.trainable, batch, do, rng
+            state.trainable, batch, do, do_mask, rng
         )
         grads, grad_norm = clip_by_global_norm(grads, cfg.grad_clip)
         nan_found = jnp.isnan(loss) | jnp.isnan(grad_norm)
@@ -205,6 +205,25 @@ def random_intervention(
     return {do_k: batch[do_k][perm]}
 
 
+def dense_intervention(
+    dag_vars: Tuple[str, ...],
+    batch: Dict[str, jnp.ndarray],
+    do: Dict[str, jnp.ndarray],
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Encode a sparse do-dict as dense (values, mask) over ALL DAG variables
+    so the jitted step never re-specializes on the intervened-variable set."""
+    n = next(iter(batch.values())).shape[0]
+    values, mask = {}, {}
+    for k in dag_vars:
+        if k in do:
+            values[k] = do[k]
+            mask[k] = jnp.ones((n, 1), jnp.float32)
+        else:
+            values[k] = jnp.zeros_like(batch[k])
+            mask[k] = jnp.zeros((n, 1), jnp.float32)
+    return values, mask
+
+
 def cf_train_epoch(
     cfg: CFConfig,
     pgm_cfg: PGMConfig,
@@ -223,8 +242,9 @@ def cf_train_epoch(
     for i, raw in enumerate(loader):
         batch = preprocess_pgm_batch(pgm_cfg, raw)
         do = random_intervention(host_rng, dag_vars, batch, cfg.do_pa)
+        do_values, do_mask = dense_intervention(dag_vars, batch, do)
         key = jax.random.fold_in(rng, epoch * 100000 + i)
-        state, m = train_step(state, batch, do, key)
+        state, m = train_step(state, batch, do_values, do_mask, key)
         if bool(jax.device_get(m["skipped"])):
             continue
         bs = batch["x"].shape[0]

@@ -178,6 +178,103 @@ def make_pgm_train_step(cfg: PGMConfig, model, donate: bool = True):
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_semi_sup_train_step(cfg: PGMConfig, model, n_labelled: int,
+                             donate: bool = True):
+    """Semi-supervised SVI step (reference ss_train_epoch, train_pgm.py:50-108).
+
+    Per step: labelled loss -log p(obs_l) + unlabelled Monte-Carlo ELBO with
+    guide-sampled attributes + alpha * N_l * predictor MLE on the labelled
+    batch. The unlabelled ELBO uses pathwise gradients for reparameterized
+    (continuous) guide sites and a score-function surrogate for categorical
+    sites — the same per-site estimator split Pyro's Trace_ELBO applies.
+    Requires the PGM to expose ``guide_sample`` (MorphoMNISTPGM.guide_sample).
+    """
+    opt = make_pgm_optimizer(cfg)
+    alpha = cfg.alpha * n_labelled
+
+    def loss_fn(params, batch_l, batch_u, rng):
+        r1, r2, r3 = jax.random.split(rng, 3)
+        obs_l = _attrs_only(model, batch_l)
+        # labelled: guide contributes nothing when everything is observed
+        lps_l = model.apply(
+            {"params": params}, obs_l, method=model.svi_logprob,
+            rngs={"sample": r1},
+        )
+        loss_l = -sum(jnp.sum(v) for v in lps_l.values())
+        # unlabelled: guide samples all attributes from q(.|x)
+        empty = {k: None for k in model.dag_variables}
+        values, logq = model.apply(
+            {"params": params}, batch_u["x"], empty,
+            method=model.guide_sample, rngs={"sample": r2},
+        )
+        lps_u = model.apply(
+            {"params": params}, values, method=model.svi_logprob,
+            rngs={"sample": r2},
+        )
+        logp_u = sum(lps_u.values())  # (B,)
+        logq_cont = sum(
+            v for k, v in logq.items()
+            if model.dag_variables.get(k) != "categorical"
+        )
+        logq_disc = sum(
+            (v for k, v in logq.items()
+             if model.dag_variables.get(k) == "categorical"),
+            start=jnp.zeros(()),
+        )
+        elbo_u = logp_u - (logq_cont + logq_disc)
+        # score-function surrogate for the categorical guide sites
+        surrogate_u = elbo_u + logq_disc * jax.lax.stop_gradient(elbo_u)
+        loss_u = -jnp.sum(surrogate_u)
+        # aux predictor MLE on the labelled batch
+        aux_lps = model.apply(
+            {"params": params}, batch_l["x"],
+            method=model.anticausal_logprob, rngs={"sample": r3}, **obs_l,
+        )
+        aux_loss = -sum(jnp.sum(v) for v in aux_lps.values())
+        loss = loss_l + loss_u + alpha * aux_loss
+        return loss, {"loss_l": loss_l, "loss_u": -jnp.sum(elbo_u),
+                      "aux_loss": aux_loss}
+
+    def train_step(state: PGMTrainState, batch_l, batch_u, rng):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch_l, batch_u, rng
+        )
+        grads, grad_norm = clip_by_global_norm(grads, cfg.grad_clip)
+        updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_step = state.step + 1
+        new_ema = ema_update(
+            state.ema_params, new_params, new_step, beta=cfg.ema_rate
+        )
+        return (
+            PGMTrainState(step=new_step, params=new_params,
+                          ema_params=new_ema, opt_state=new_opt_state),
+            {"loss": loss, "grad_norm": grad_norm, **aux},
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def split_labelled_unlabelled(
+    dataset, sup_frac: float, seed: int = 0
+):
+    """Labelled/unlabelled Subset split (reference train_pgm.py:287-306)."""
+    import dataclasses as _dc
+
+    import numpy as _np
+
+    n = len(dataset)
+    rng = _np.random.default_rng(seed)
+    idx = rng.permutation(n)
+    n_l = int(sup_frac * n)
+    take = lambda ids: _dc.replace(
+        dataset,
+        images=dataset.images[ids],
+        attrs={k: v[ids] for k, v in dataset.attrs.items()},
+    )
+    return take(idx[:n_l]), take(idx[n_l:])
+
+
 def make_pgm_eval_step(cfg: PGMConfig, model):
     def eval_step(params, batch, rng):
         rngs = {"sample": rng}
@@ -273,16 +370,83 @@ def pgm_eval_metrics(
     return stats
 
 
+def save_pgm_checkpoint(path: str, cfg: PGMConfig, state: PGMTrainState,
+                        extra: Optional[Dict[str, Any]] = None) -> None:
+    """Checkpoint {params, ema, opt, hparams} (reference train_pgm.py:533-546)."""
+    import dataclasses
+    import json
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(
+        path,
+        {
+            "params": jax.device_get(state.params),
+            "ema_params": jax.device_get(state.ema_params),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": int(jax.device_get(state.step)),
+        },
+        force=True,
+    )
+    with open(path + ".meta.json", "w") as f:
+        json.dump(
+            {"config": dataclasses.asdict(cfg), "extra": extra or {}},
+            f, indent=2, default=str,
+        )
+
+
+def load_pgm_checkpoint(path: str) -> Tuple[PGMConfig, PGMTrainState, Dict[str, Any]]:
+    import json
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(path + ".meta.json") as f:
+        meta = json.load(f)
+    d = meta["config"]
+    d = {k: tuple(v) if isinstance(v, list) else v for k, v in d.items()}
+    cfg = PGMConfig(**d)
+    payload = ocp.PyTreeCheckpointer().restore(path)
+    state = PGMTrainState(
+        step=jnp.asarray(payload["step"], jnp.int32),
+        params=payload["params"],
+        ema_params=payload["ema_params"],
+        opt_state=payload["opt_state"],
+    )
+    return cfg, state, meta.get("extra", {})
+
+
 def train_pgm(
     cfg: PGMConfig,
     model,
     loaders: Dict[str, Loader],
     epochs: Optional[int] = None,
+    save_dir: Optional[str] = None,
 ) -> Tuple[PGMTrainState, Dict[str, float]]:
-    """Supervised PGM/aux training driver (reference train_pgm.py:430-567)."""
+    """Supervised PGM/aux training driver (reference train_pgm.py:430-567);
+    best-valid-loss checkpointing at train_pgm.py:531-546."""
     rng = jax.random.PRNGKey(cfg.seed)
     first = preprocess_pgm_batch(cfg, next(iter(loaders["train"])))
-    state = init_pgm_state(cfg, model, _attrs_only(model, first))
+    if cfg.setup == "sup_pgm":
+        state = init_pgm_state(cfg, model, _attrs_only(model, first))
+    else:
+        init_rng = jax.random.PRNGKey(cfg.seed)
+        params = model.init(
+            {"params": init_rng, "sample": init_rng, "dropout": init_rng},
+            first["x"], method=model.anticausal_logprob,
+            **_attrs_only(model, first),
+        )["params"]
+        opt = make_pgm_optimizer(cfg)
+        state = PGMTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            ema_params=jax.tree.map(jnp.copy, params),
+            opt_state=opt.init(params),
+        )
     train_step = make_pgm_train_step(cfg, model)
     eval_step = make_pgm_eval_step(cfg, model)
     best = float("inf")
@@ -302,6 +466,14 @@ def train_pgm(
                 m = eval_step(state.ema_params, batch, jax.random.fold_in(rng, i))
                 ev.append(float(m["loss"]))
             history["valid_loss"] = float(np.mean(ev))
-            best = min(best, history["valid_loss"])
+            if history["valid_loss"] < best:
+                best = history["valid_loss"]
+                if save_dir:
+                    import os
+
+                    save_pgm_checkpoint(
+                        os.path.join(save_dir, "checkpoint"), cfg, state,
+                        extra={"epoch": epoch, "best_loss": best},
+                    )
         log.info("epoch %d | %s", epoch, history)
     return state, history

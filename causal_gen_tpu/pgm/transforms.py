@@ -102,6 +102,40 @@ class Compose(Transform):
         return y, ld
 
 
+@dataclass
+class SoftmaxCentered(Transform):
+    """Softmax as a bijection R^K -> interior(simplex^{K+1}): forward appends
+    an implicit zero pivot coordinate then softmaxes; inverse takes log-ratios
+    against the last coordinate.
+
+    Port target: the discrete-mechanism prototype (reference
+    notebooks/discrete_mechanisms.ipynb cell 3) used for continuous-cause ->
+    discrete-effect Gumbel-Softmax mechanisms. Unlike the elementwise
+    transforms above, logdet here is per-EVENT (last dim reduced):
+    log|det dy/dx| = 0.5*log(K+1) + sum(log y).
+    """
+
+    temperature: float = 1.0
+
+    def forward(self, x):
+        zero = jnp.zeros((*x.shape[:-1], 1), x.dtype)
+        y = jax.nn.softmax(
+            jnp.concatenate([x, zero], axis=-1) / self.temperature, axis=-1
+        )
+        kp1 = jnp.asarray(y.shape[-1], y.dtype)
+        ld = 0.5 * jnp.log(kp1) + jnp.sum(
+            jnp.log(jnp.clip(y, min=1e-12)), axis=-1
+        )
+        return y, ld
+
+    def inverse(self, y):
+        log_y = jnp.log(jnp.clip(y, min=1e-12))
+        x = (log_y[..., :-1] - log_y[..., -1:]) * self.temperature
+        kp1 = jnp.asarray(y.shape[-1], y.dtype)
+        ld = -(0.5 * jnp.log(kp1) + jnp.sum(log_y, axis=-1))
+        return x, ld
+
+
 def normalize_neg11() -> Compose:
     """[-1,1] squashing tail used by the Morpho-MNIST PGM:
     Sigmoid then Affine(loc=-1, scale=2) (reference flow_pgm.py:326-329)."""

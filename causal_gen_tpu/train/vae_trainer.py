@@ -213,14 +213,20 @@ def train(
     save_dir: Optional[str] = None,
     epochs: Optional[int] = None,
     callback=None,
+    init_state: Optional[TrainState] = None,
 ) -> Tuple[TrainState, Dict[str, float]]:
-    """Full training driver (reference trainer.py:24-169 minus viz)."""
+    """Full training driver (reference trainer.py:24-169 minus viz).
+
+    ``init_state`` resumes from a loaded checkpoint (reference main.py:74-88)."""
     rng = jax.random.PRNGKey(cfg.seed)
     init_rng, train_rng, eval_rng = jax.random.split(rng, 3)
-    params = init_model_params(cfg, model, init_rng)
-    n_params = sum(x.size for x in jax.tree.leaves(params))
-    log.info("total params: %s", f"{n_params:,}")
-    state = init_train_state(cfg, params)
+    if init_state is not None:
+        state = init_state
+    else:
+        params = init_model_params(cfg, model, init_rng)
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        log.info("total params: %s", f"{n_params:,}")
+        state = init_train_state(cfg, params)
 
     train_step = make_train_step(cfg, model)
     eval_step = make_eval_step(cfg, model)

@@ -198,10 +198,15 @@ class TestDSCM:
         # eps huge -> constraint eps - elbo > 0 satisfied -> dual ascent pushes
         # lambda DOWN -> the >= 0 clamp holds it at 0
         dscm.elbo_constraint = 100.0
+        from causal_gen_tpu.pgm.train_cf import dense_intervention
+
+        dag_vars = tuple(dscm.pgm.dag_variables.keys())
+        attrs = {k: batch[k] for k in dag_vars}
+        dov, dom = dense_intervention(dag_vars, attrs, do)
         cf_cfg = CFConfig(lr=1e-4, lr_lagrange=1e-1, grad_skip=1e9, elbo_constraint=100.0)
         state = init_cf_state(cf_cfg, dscm, vae_params)
         step = make_cf_train_step(cf_cfg, dscm, frozen, donate=False)
-        state, m = step(state, batch, do, jax.random.PRNGKey(0))
+        state, m = step(state, batch, dov, dom, jax.random.PRNGKey(0))
         assert float(state.trainable["lmbda"][0]) == 0.0  # clamp holds
         # eps tiny -> constraint violated (eps - elbo < 0) -> lambda grows
         dscm.elbo_constraint = -10.0
@@ -210,7 +215,7 @@ class TestDSCM:
         step2 = make_cf_train_step(cf_cfg2, dscm, frozen, donate=False)
         prev = float(state2.trainable["lmbda"][0])
         for i in range(3):
-            state2, m2 = step2(state2, batch, do, jax.random.PRNGKey(i))
+            state2, m2 = step2(state2, batch, dov, dom, jax.random.PRNGKey(i))
         assert float(state2.trainable["lmbda"][0]) > prev
         assert int(state2.step) == 3
 
