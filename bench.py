@@ -13,11 +13,18 @@ single-GPU pipeline; update when measured).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compilation cache: first run pays the (tunneled) compile, reruns
+# start in seconds
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # Self-measured reference anchor (PyTorch T4, morphomnist HVAE bs=32).
 # Placeholder estimate until the reference is profiled like-for-like.

@@ -13,7 +13,7 @@ TPU-native choices:
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -48,35 +48,39 @@ class Block(nn.Module):
     down_rate: Optional[int] = None
     version: Optional[str] = None
     last_scale: float = 1.0  # scale of final conv kernel init (0.0 => zeros)
+    dtype: Optional[Any] = None  # compute dtype (bf16 puts convs on the MXU
+    # at full rate; params stay f32 — flax casts per-op)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         k = self.kernel_size
+        conv = lambda w, kk, **kw: nn.Conv(
+            w, (kk, kk), padding="SAME" if kk > 1 else "VALID",
+            dtype=self.dtype, **kw,
+        )
         last_init = (
             nn.initializers.zeros if self.last_scale == 0.0 else scaled_init(self.last_scale)
         )
         if self.version == "light":
             out = nn.relu(x)
-            out = nn.Conv(self.bottleneck, (k, k), padding="SAME" if k > 1 else "VALID")(out)
+            out = conv(self.bottleneck, k)(out)
             out = nn.relu(out)
-            out = nn.Conv(
-                self.out_width, (k, k), padding="SAME" if k > 1 else "VALID",
-                kernel_init=last_init,
-            )(out)
+            out = conv(self.out_width, k, kernel_init=last_init)(out)
         else:
             out = nn.gelu(x, approximate=False)
-            out = nn.Conv(self.bottleneck, (1, 1))(out)
+            out = conv(self.bottleneck, 1)(out)
             out = nn.gelu(out, approximate=False)
-            out = nn.Conv(self.bottleneck, (k, k), padding="SAME" if k > 1 else "VALID")(out)
+            out = conv(self.bottleneck, k)(out)
             out = nn.gelu(out, approximate=False)
-            out = nn.Conv(self.bottleneck, (k, k), padding="SAME" if k > 1 else "VALID")(out)
+            out = conv(self.bottleneck, k)(out)
             out = nn.gelu(out, approximate=False)
-            out = nn.Conv(self.out_width, (1, 1), kernel_init=last_init)(out)
+            out = conv(self.out_width, 1, kernel_init=last_init)(out)
         if self.residual:
             if x.shape[-1] != out.shape[-1]:
                 # width projection exists when downsampling or narrowing
                 # (reference vae.py:70-71)
-                x = nn.Conv(self.out_width, (1, 1), name="width_proj")(x)
+                x = nn.Conv(self.out_width, (1, 1), name="width_proj",
+                            dtype=self.dtype)(x)
             out = x + out
         if self.down_rate:
             d = int(self.down_rate)
@@ -93,6 +97,7 @@ class Encoder(nn.Module):
     bottleneck: int
     input_channels: int
     version: Optional[str] = None
+    dtype: Optional[Any] = None
 
     def setup(self):
         # flatten stage spec into per-block (width, down_rate) like vae.py:111-113
@@ -106,7 +111,8 @@ class Encoder(nn.Module):
             if stage.down_rate is not None:
                 flat += [(self.widths[i + 1], stage.down_rate)]
         self._flat = tuple(flat)
-        self.stem = nn.Conv(stem_width, (7, 7), strides=(stem_stride, stem_stride), padding=3)
+        self.stem = nn.Conv(stem_width, (7, 7), strides=(stem_stride, stem_stride),
+                            padding=3, dtype=self.dtype)
         blocks = []
         n = len(flat)
         for i, (width, d) in enumerate(flat):
@@ -119,6 +125,7 @@ class Encoder(nn.Module):
                     down_rate=d,
                     version=self.version,
                     last_scale=float(np.sqrt(1.0 / n)),
+                    dtype=self.dtype,
                 )
             )
         self.blocks = blocks

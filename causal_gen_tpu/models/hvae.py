@@ -55,6 +55,7 @@ class DecoderBlock(nn.Module):
     q_correction: bool
     version: Optional[str]
     n_blocks: int  # total decoder depth, for 1/sqrt(L) weight scaling
+    dtype: Optional[Any] = None  # conv compute dtype (bf16 -> MXU full rate)
 
     def setup(self):
         bottleneck = self.in_width // self.bottleneck_factor
@@ -68,6 +69,7 @@ class DecoderBlock(nn.Module):
             residual=False,
             version=self.version,
             last_scale=0.0,  # zero-init prior head (reference vae.py:308)
+            dtype=self.dtype,
         )
         if self.stochastic:
             self.posterior = Block(
@@ -77,10 +79,12 @@ class DecoderBlock(nn.Module):
                 kernel_size=k,
                 residual=False,
                 version=self.version,
+                dtype=self.dtype,
             )
-        self.z_proj = nn.Conv(self.in_width, (1, 1), kernel_init=scaled_init(scale))
+        self.z_proj = nn.Conv(self.in_width, (1, 1), kernel_init=scaled_init(scale),
+                              dtype=self.dtype)
         if not self.q_correction:
-            self.z_feat_proj = nn.Conv(self.out_width, (1, 1))
+            self.z_feat_proj = nn.Conv(self.out_width, (1, 1), dtype=self.dtype)
         self.conv = Block(
             in_width=self.in_width,
             bottleneck=bottleneck,
@@ -89,6 +93,7 @@ class DecoderBlock(nn.Module):
             residual=True,
             version=self.version,
             last_scale=scale,
+            dtype=self.dtype,
         )
 
     def forward_prior(
@@ -97,8 +102,9 @@ class DecoderBlock(nn.Module):
         if self.cond_prior:
             z = jnp.concatenate([z, _bcast_pa(pa, z.shape[1])], axis=-1)
         z = self.prior(z)
-        p_loc = z[..., : self.z_dim]
-        p_logscale = z[..., self.z_dim : 2 * self.z_dim]
+        stats32 = z[..., : 2 * self.z_dim].astype(jnp.float32)
+        p_loc = stats32[..., : self.z_dim]
+        p_logscale = stats32[..., self.z_dim :]
         p_features = z[..., 2 * self.z_dim :]
         if t is not None:
             p_logscale = p_logscale + math.log(t)
@@ -108,7 +114,7 @@ class DecoderBlock(nn.Module):
         self, z: Array, x: Array, pa: Array, t: Optional[float] = None
     ) -> Tuple[Array, Array]:
         h = jnp.concatenate([z, _bcast_pa(pa, z.shape[1]), x], axis=-1)
-        out = self.posterior(h)
+        out = self.posterior(h).astype(jnp.float32)
         q_loc, q_logscale = jnp.split(out, 2, axis=-1)
         if t is not None:
             q_logscale = q_logscale + math.log(t)
@@ -146,6 +152,7 @@ class Decoder(nn.Module):
                     q_correction=cfg.q_correction,
                     version=cfg.block_version,
                     n_blocks=n,
+                    dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else None,
                 )
             )
         self.blocks = blocks
@@ -273,6 +280,7 @@ class HVAE(nn.Module):
             bottleneck=cfg.bottleneck,
             input_channels=cfg.input_channels,
             version=cfg.block_version,
+            dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else None,
         )
         self.decoder = Decoder(cfg=cfg)
         self.likelihood = make_likelihood(
@@ -286,7 +294,7 @@ class HVAE(nn.Module):
     ) -> Dict[str, Array]:
         acts = self.encoder(x)
         h, stats = self.decoder(parents=parents, acts=acts, train=train)
-        nll_pp = self.likelihood.nll(h, x)
+        nll_pp = self.likelihood.nll(h.astype(jnp.float32), x)
         if self.free_bits > 0:
             kl_pp = 0.0
             for stat in stats:
