@@ -52,6 +52,12 @@ class ArrayDataset:
     attrs: Dict[str, np.ndarray]
     columns: Tuple[str, ...]
     transform: Optional[Callable] = None  # (rng, x_batch) -> x_batch
+    # declarative augmentation spec; when set it takes precedence over
+    # ``transform`` and dispatches to the fused native C++ path
+    # (data/native.py) with a numpy fallback:
+    #   ("random_crop_flip", (out_h, out_w), (pad_h, pad_w), hflip_p)
+    #   ("center_pad", pad)
+    aug: Optional[Tuple] = None
 
     def __len__(self) -> int:
         return self.images.shape[0]
@@ -69,9 +75,24 @@ class ArrayDataset:
         self, idx: np.ndarray, rng: Optional[np.random.Generator] = None,
         concat_pa: bool = True,
     ) -> Dict[str, np.ndarray]:
-        x = self.images[idx]
-        if self.transform is not None:
-            x = self.transform(rng if rng is not None else np.random.default_rng(0), x)
+        rng = rng if rng is not None else np.random.default_rng(0)
+        if self.aug is not None and self.aug[0] == "random_crop_flip":
+            from causal_gen_tpu.data import native
+
+            _, size, padding, hflip_p = self.aug
+            x = native.gather_crop_flip(
+                self.images, np.asarray(idx), rng, size, padding, hflip_p
+            )
+            if x is None:  # numpy fallback
+                x = self.images[idx]
+                x = augment.random_crop(rng, x, size, padding)
+                x = augment.random_hflip(rng, x, hflip_p)
+        elif self.aug is not None and self.aug[0] == "center_pad":
+            x = augment.center_pad(self.images[idx], self.aug[1])
+        else:
+            x = self.images[idx]
+            if self.transform is not None:
+                x = self.transform(rng, x)
         out: Dict[str, np.ndarray] = {"x": x}
         if concat_pa:
             out["pa"] = self.pa[idx]
@@ -133,12 +154,11 @@ def morphomnist(cfg: Config, data_dir: Optional[str] = None) -> Dict[str, ArrayD
         )
 
     res = (cfg.input_res, cfg.input_res)
-    train_tf = lambda rng, x: augment.random_crop(rng, x, res, (cfg.pad, cfg.pad))
-    eval_tf = lambda rng, x: augment.center_pad(x, 2)
-
     have_train = os.path.exists(_morphomnist_paths(root, True)[0])
-    train_ds = build(True, train_tf) if have_train else build(False, train_tf)
-    eval_ds = build(False, eval_tf)
+    train_ds = build(True, None) if have_train else build(False, None)
+    train_ds.aug = ("random_crop_flip", res, (cfg.pad, cfg.pad), 0.0)
+    eval_ds = build(False, None)
+    eval_ds.aug = ("center_pad", 2)
     return {"train": train_ds, "valid": eval_ds, "test": eval_ds}
 
 
@@ -181,10 +201,10 @@ def cmnist(
         )
 
     res = (cfg.input_res, cfg.input_res)
-    train_tf = lambda rng, x: augment.random_crop(rng, x, res, (cfg.pad, cfg.pad))
-    eval_tf = lambda rng, x: augment.center_pad(x, 2)
-    train_ds = build(True, train_tf)
-    eval_ds = build(False, eval_tf)
+    train_ds = build(True, None)
+    train_ds.aug = ("random_crop_flip", res, (cfg.pad, cfg.pad), 0.0)
+    eval_ds = build(False, None)
+    eval_ds.aug = ("center_pad", 2)
     return {"train": train_ds, "valid": eval_ds, "test": eval_ds}
 
 
@@ -238,17 +258,12 @@ def ukbb(cfg: Config, data_dir: Optional[str] = None) -> Dict[str, ArrayDataset]
             for eid, m in zip(df["eid"], mri_seq)
         ]
         images = _load_png_batch(paths, res)[..., None]
+        ds = ArrayDataset(images=images, attrs=attrs, columns=tuple(columns))
         if train:
             # torchvision RandomCrop padding=[2*pad, pad]: left/right by 2*pad,
             # top/bottom by pad (reference datasets.py:106-109)
-            tf = lambda rng, x: augment.random_hflip(
-                rng,
-                augment.random_crop(rng, x, (res, res), (cfg.pad, 2 * cfg.pad)),
-                cfg.hflip,
-            )
-        else:
-            tf = None
-        return ArrayDataset(images=images, attrs=attrs, columns=tuple(columns), transform=tf)
+            ds.aug = ("random_crop_flip", (res, res), (cfg.pad, 2 * cfg.pad), cfg.hflip)
+        return ds
 
     return {s: build(s, s == "train") for s in ["train", "valid", "test"]}
 

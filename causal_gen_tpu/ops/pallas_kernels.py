@@ -45,11 +45,14 @@ def _pad_rows(x: Array, tile: int) -> Tuple[Array, int]:
 def _sample_kl_kernel(seed_ref, q_loc, q_logscale, p_loc, p_logscale, z_out, kl_out):
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     shape = q_loc.shape
-    # two uniforms in (0,1) from 24 high bits -> Box-Muller standard normal
-    b1 = pltpu.prng_random_bits(shape)
-    b2 = pltpu.prng_random_bits(shape)
-    u1 = (b1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
-    u2 = (b2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    # two uniforms in (0,1) from 24 low bits -> Box-Muller standard normal.
+    # Mask as int32 (Mosaic lacks uint32->f32 casts; the 24-bit AND keeps the
+    # value non-negative so int32->f32 is exact)
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    mask24 = jnp.int32(0x00FFFFFF)
+    u1 = (b1 & mask24).astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+    u2 = (b2 & mask24).astype(jnp.float32) * (1.0 / (1 << 24))
     eps = jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * math.pi * u2)
     ql, qs, plc, ps = q_loc[:], q_logscale[:], p_loc[:], p_logscale[:]
     z_out[:] = ql + jnp.exp(qs) * eps

@@ -235,6 +235,54 @@ class FlowPGM(BasePGMModule):
             "ventricle_volume": v_loc,
         }
 
+    def guide_sample(
+        self, x: Array, obs: Dict[str, Optional[Array]]
+    ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+        """Fill unobserved sites from q (reference guide, flow_pgm.py:207-244):
+        q(m|x), q(v|x), q(b|x,v), q(s|x,b), q(a|b,v)."""
+        values = dict(obs)
+        logq: Dict[str, Array] = {}
+        if values.get("mri_seq") is None:
+            m_prob = jax.nn.sigmoid(self.encoder_m(x))
+            u = jax.random.uniform(self.make_rng("sample"), m_prob.shape)
+            values["mri_seq"] = (u < m_prob).astype(jnp.float32)
+            logq["mri_seq"] = jnp.sum(
+                bernoulli_logpmf_probs(values["mri_seq"], m_prob), -1
+            )
+        if values.get("ventricle_volume") is None:
+            v_loc, v_logs = jnp.split(self.encoder_v(x), 2, -1)
+            scale = self.f(v_logs)
+            eps = jax.random.normal(self.make_rng("sample"), v_loc.shape)
+            values["ventricle_volume"] = v_loc + scale * eps
+            logq["ventricle_volume"] = jnp.sum(
+                normal_logpdf(values["ventricle_volume"], v_loc, scale), -1
+            )
+        if values.get("brain_volume") is None:
+            b_loc, b_logs = jnp.split(
+                self.encoder_b(x, y=values["ventricle_volume"]), 2, -1
+            )
+            scale = self.f(b_logs)
+            eps = jax.random.normal(self.make_rng("sample"), b_loc.shape)
+            values["brain_volume"] = b_loc + scale * eps
+            logq["brain_volume"] = jnp.sum(
+                normal_logpdf(values["brain_volume"], b_loc, scale), -1
+            )
+        if values.get("sex") is None:
+            s_prob = jax.nn.sigmoid(self.encoder_s(x, y=values["brain_volume"]))
+            u = jax.random.uniform(self.make_rng("sample"), s_prob.shape)
+            values["sex"] = (u < s_prob).astype(jnp.float32)
+            logq["sex"] = jnp.sum(bernoulli_logpmf_probs(values["sex"], s_prob), -1)
+        if values.get("age") is None:
+            ctx = jnp.concatenate(
+                [values["brain_volume"], values["ventricle_volume"]], -1
+            )
+            a_loc, a_logs = jnp.split(self.encoder_a(ctx), 2, -1)
+            scale = self.f(a_logs)
+            eps = jax.random.normal(self.make_rng("sample"), a_loc.shape)
+            values["age"] = a_loc + scale * eps
+            logq["age"] = jnp.sum(normal_logpdf(values["age"], a_loc, scale), -1)
+        return values, logq
+
     def anticausal_logprob(self, x: Array, **obs) -> Dict[str, Array]:
         """Per-site log q(site | x, ...) at observed values
         (reference model_anticausal, flow_pgm.py:246-278)."""
@@ -423,6 +471,20 @@ class ColourMNISTPGM(BasePGMModule):
             ),
         ]
 
+    def guide_sample(
+        self, x: Array, obs: Dict[str, Optional[Array]]
+    ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+        """q(y|x), q(c|x) (reference guide, flow_pgm.py:488-502)."""
+        values = dict(obs)
+        logq: Dict[str, Array] = {}
+        for name, enc in (("digit", self.encoder_y), ("colour", self.encoder_c)):
+            if values.get(name) is None:
+                logits = enc(x)
+                idx = jax.random.categorical(self.make_rng("sample"), logits)
+                values[name] = jax.nn.one_hot(idx, 10)
+                logq[name] = onehot_categorical_logpmf(values[name], logits)
+        return values, logq
+
     def predict(self, x: Array, **obs) -> Dict[str, Array]:
         return {
             "digit": jax.nn.softmax(self.encoder_y(x), axis=-1),
@@ -506,6 +568,39 @@ class ChestPGM(BasePGMModule):
 
     def _features(self, x: Array, train: bool = False) -> Array:
         return self.trunk(x, train=train)
+
+    def guide_sample(
+        self, x: Array, obs: Dict[str, Optional[Array]], train: bool = False
+    ) -> Tuple[Dict[str, Array], Dict[str, Array]]:
+        """q(s|x), q(r|x), q(f|x), q(a|x,f) (reference guide,
+        flow_pgm.py:641-664)."""
+        feats = self._features(x, train=train)
+        values = dict(obs)
+        logq: Dict[str, Array] = {}
+        if values.get("sex") is None:
+            s_prob = jax.nn.sigmoid(self.head_s(feats))
+            u = jax.random.uniform(self.make_rng("sample"), s_prob.shape)
+            values["sex"] = (u < s_prob).astype(jnp.float32)
+            logq["sex"] = jnp.sum(bernoulli_logpmf_probs(values["sex"], s_prob), -1)
+        if values.get("race") is None:
+            logits = self.head_r(feats)
+            idx = jax.random.categorical(self.make_rng("sample"), logits)
+            values["race"] = jax.nn.one_hot(idx, 3)
+            logq["race"] = onehot_categorical_logpmf(values["race"], logits)
+        if values.get("finding") is None:
+            f_prob = jax.nn.sigmoid(self.head_f(feats))
+            u = jax.random.uniform(self.make_rng("sample"), f_prob.shape)
+            values["finding"] = (u < f_prob).astype(jnp.float32)
+            logq["finding"] = jnp.sum(
+                bernoulli_logpmf_probs(values["finding"], f_prob), -1
+            )
+        if values.get("age") is None:
+            a_loc, a_logs = jnp.split(self.head_a(feats, y=values["finding"]), 2, -1)
+            scale = self.f(a_logs)
+            eps = jax.random.normal(self.make_rng("sample"), a_loc.shape)
+            values["age"] = a_loc + scale * eps
+            logq["age"] = jnp.sum(normal_logpdf(values["age"], a_loc, scale), -1)
+        return values, logq
 
     def predict(self, x: Array, train: bool = False, **obs) -> Dict[str, Array]:
         feats = self._features(x, train=train)

@@ -224,6 +224,111 @@ def dense_intervention(
     return values, mask
 
 
+def cf_get_metrics(
+    dataset: str,
+    preds: Dict[str, np.ndarray],
+    targets: Dict[str, np.ndarray],
+) -> Dict[str, float]:
+    """Counterfactual-eval metrics (reference get_metrics, train_cf.py:63-108)."""
+    from causal_gen_tpu.utils.metrics import (
+        accuracy_binary,
+        accuracy_onehot,
+        mae,
+        roc_auc_binary,
+        roc_auc_ovr_macro,
+    )
+    from causal_gen_tpu.utils.normalization import (
+        MORPHOMNIST_MIN_MAX,
+        get_attr_max_min,
+    )
+
+    stats: Dict[str, float] = {}
+    for k in preds:
+        P, T = np.asarray(preds[k]), np.asarray(targets[k])
+        if "ukbb" in dataset:
+            if k in ("mri_seq", "sex"):
+                stats[k + "_rocauc"] = roc_auc_binary(T, P)
+                stats[k + "_acc"] = accuracy_binary(T, P)
+            else:
+                p = ((P + 1) / 2)
+                _max, _min = get_attr_max_min(k)
+                p = p * (_max - _min) + _min
+                t = ((T + 1) / 2) * (_max - _min) + _min
+                norm = 1000.0 if "volume" in k else 1.0
+                stats[k + "_mae"] = mae(t, p) / norm
+        elif "mimic" in dataset:
+            if k in ("sex", "finding"):
+                stats[k + "_rocauc"] = roc_auc_binary(T, P)
+                stats[k + "_acc"] = accuracy_binary(T, P)
+            elif k == "age":
+                stats[k + "_mae"] = mae((T + 1) * 50, (P + 1) * 50)
+            elif k == "race":
+                stats[k + "_acc"] = accuracy_onehot(T, P)
+                stats[k + "_rocauc"] = roc_auc_ovr_macro(T, P)
+        elif "morphomnist" in dataset:
+            if k == "digit":
+                stats[k + "_acc"] = accuracy_onehot(T, P)
+            else:
+                lo, hi = MORPHOMNIST_MIN_MAX[k]
+                p = ((P + 1) / 2) * (hi - lo) + lo
+                t = ((T + 1) / 2) * (hi - lo) + lo
+                stats[k + "_mae"] = mae(t, p)
+        else:
+            stats[k + "_acc"] = accuracy_onehot(T, P) if T.ndim > 1 else accuracy_binary(T, P)
+    return stats
+
+
+def cf_eval_epoch(
+    cfg: CFConfig,
+    pgm_cfg: PGMConfig,
+    dscm: DSCM,
+    state: CFTrainState,
+    frozen: Dict[str, Any],
+    loaders: Dict[str, Loader],
+    eval_step,
+    rng: jax.Array,
+    do_pa: Optional[str] = None,
+) -> Tuple[Dict[str, float], Dict[str, float]]:
+    """Eval sweep: do(pa_k) drawn from train-set resamples; counterfactual
+    predictions scored against the interventions
+    (reference cf_epoch eval branch, train_cf.py:145-153, 181-189)."""
+    dag_vars = tuple(dscm.pgm.dag_variables.keys())
+    train_attrs = {
+        k: np.asarray(loaders["train"].ds.attrs[k]) for k in dag_vars
+    }
+    host_rng = np.random.default_rng(cfg.seed + 1)
+    stats = {k: 0.0 for k in ["loss", "aux_loss", "elbo", "nll", "kl"]}
+    preds: Dict[str, list] = {k: [] for k in dag_vars}
+    targets: Dict[str, list] = {k: [] for k in dag_vars}
+    n = 0
+    for i, raw in enumerate(loaders["valid"]):
+        batch = preprocess_pgm_batch(pgm_cfg, raw)
+        bs = batch["x"].shape[0]
+        do_k = do_pa if do_pa else dag_vars[int(host_rng.integers(0, len(dag_vars)))]
+        vals = train_attrs[do_k]
+        idx = host_rng.permutation(len(vals))[:bs]
+        v = vals[idx]
+        do = {do_k: jnp.asarray(v if v.ndim > 1 else v[:, None], jnp.float32)}
+        m, p, cfs = eval_step(
+            state.ema_trainable, batch, do, jax.random.fold_in(rng, i)
+        )
+        n += bs
+        for k in stats:
+            scale = cfg.alpha if k == "aux_loss" else 1.0
+            stats[k] += float(m[k]) * scale * bs
+        for k in dag_vars:
+            preds[k].append(np.asarray(p[k]))
+            tgt = do[k] if k in do else cfs[k]
+            targets[k].append(np.asarray(tgt))
+    stats = {k: v / max(n, 1) for k, v in stats.items()}
+    metrics = cf_get_metrics(
+        pgm_cfg.dataset,
+        {k: np.concatenate(v) for k, v in preds.items()},
+        {k: np.concatenate(v) for k, v in targets.items()},
+    )
+    return stats, metrics
+
+
 def cf_train_epoch(
     cfg: CFConfig,
     pgm_cfg: PGMConfig,

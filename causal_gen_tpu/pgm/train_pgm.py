@@ -212,13 +212,15 @@ def make_semi_sup_train_step(cfg: PGMConfig, model, n_labelled: int,
             rngs={"sample": r2},
         )
         logp_u = sum(lps_u.values())  # (B,)
+        discrete_kinds = ("categorical", "binary")
         logq_cont = sum(
-            v for k, v in logq.items()
-            if model.dag_variables.get(k) != "categorical"
+            (v for k, v in logq.items()
+             if model.dag_variables.get(k) not in discrete_kinds),
+            start=jnp.zeros(()),
         )
         logq_disc = sum(
             (v for k, v in logq.items()
-             if model.dag_variables.get(k) == "categorical"),
+             if model.dag_variables.get(k) in discrete_kinds),
             start=jnp.zeros(()),
         )
         elbo_u = logp_u - (logq_cont + logq_disc)
@@ -253,6 +255,45 @@ def make_semi_sup_train_step(cfg: PGMConfig, model, n_labelled: int,
         )
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def ss_train_epoch(
+    cfg: PGMConfig,
+    model,
+    state: PGMTrainState,
+    loader_l: Loader,
+    loader_u: Loader,
+    train_step,
+    rng: jax.Array,
+    epoch: int,
+) -> Tuple[PGMTrainState, Dict[str, float]]:
+    """Semi-supervised epoch: outer loop over the larger set, inner iterator
+    restarted on exhaustion (reference ss_train_epoch, train_pgm.py:50-108)."""
+    outer, inner = (
+        (loader_u, loader_l) if len(loader_u) > len(loader_l) else (loader_l, loader_u)
+    )
+    outer_is_l = outer is loader_l
+    inner_it = iter(inner)
+    stats = {"loss": 0.0, "aux_loss": 0.0, "n": 0}
+    for i, raw_outer in enumerate(outer):
+        try:
+            raw_inner = next(inner_it)
+        except StopIteration:
+            inner_it = iter(inner)
+            raw_inner = next(inner_it)
+        b_outer = preprocess_pgm_batch(cfg, raw_outer)
+        b_inner = preprocess_pgm_batch(cfg, raw_inner)
+        batch_l, batch_u = (
+            (b_outer, b_inner) if outer_is_l else (b_inner, b_outer)
+        )
+        key = jax.random.fold_in(rng, epoch * 100000 + i)
+        state, m = train_step(state, batch_l, batch_u, key)
+        bs = b_outer["x"].shape[0]
+        stats["loss"] += float(m["loss"])
+        stats["aux_loss"] += float(m["aux_loss"])
+        stats["n"] += bs
+    n = max(stats["n"], 1)
+    return state, {k: v / n for k, v in stats.items() if k != "n"}
 
 
 def split_labelled_unlabelled(

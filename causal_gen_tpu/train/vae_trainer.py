@@ -161,14 +161,40 @@ def _reshape_accu(batch: Dict[str, np.ndarray], accu: int) -> Dict[str, np.ndarr
     return out
 
 
-def init_model_params(cfg: Config, model, rng: jax.Array) -> Any:
+def init_model_params(cfg: Config, model, rng: jax.Array, host_init: bool = True) -> Any:
+    """Initialize parameters ON THE HOST CPU, then transfer once.
+
+    Initialization is a long chain of small ops; running it eagerly against a
+    remote/tunneled TPU pays per-dispatch latency thousands of times (measured
+    ~2 min for even a tiny model). CPU-init + one device_put is the TPU-native
+    pattern.
+    """
     x = jnp.zeros((1, cfg.input_res, cfg.input_res, cfg.input_channels), jnp.float32)
     pa = jnp.zeros((1, cfg.context_dim), jnp.float32)
     p_rng, s_rng = jax.random.split(rng)
-    variables = model.init(
-        {"params": p_rng, "sample": s_rng}, x, pa, beta=cfg.beta, train=False
-    )
-    return variables["params"]
+    cpu = None
+    if host_init and jax.default_backend() != "cpu":
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+    with ctx:
+        variables = model.init(
+            {"params": p_rng, "sample": s_rng}, x, pa, beta=cfg.beta, train=False
+        )
+    params = variables["params"]
+    if cpu is not None:
+        params = jax.device_put(params, jax.devices()[0])
+    return params
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
 
 
 def run_epoch(
