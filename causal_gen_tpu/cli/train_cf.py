@@ -72,8 +72,10 @@ def main(argv: Optional[list] = None) -> None:
     from causal_gen_tpu.pgm.dscm import DSCM
     from causal_gen_tpu.pgm.train_cf import (
         CFConfig,
+        cf_eval_epoch,
         cf_train_epoch,
         init_cf_state,
+        make_cf_eval_step,
         make_cf_train_step,
     )
     from causal_gen_tpu.pgm.train_pgm import PGMConfig
@@ -122,11 +124,13 @@ def main(argv: Optional[list] = None) -> None:
     frozen = {"pgm": pgm_state.ema_params, "predictor": pred_state.ema_params}
     state = init_cf_state(cfg, dscm, vae_state.ema_params)
     train_step = make_cf_train_step(cfg, dscm, frozen)
+    eval_step = make_cf_eval_step(cfg, dscm, frozen)
 
     datasets = setup_datasets(vae_cfg)
     loaders = setup_loaders(datasets, cfg.bs, seed=cfg.seed, concat_pa=False, max_batches=args.max_batches)
     rng = jax.random.PRNGKey(cfg.seed)
     host_rng = np.random.default_rng(cfg.seed)
+    dag_vars = tuple(pgm.dag_variables.keys())
     for epoch in range(1, cfg.epochs + 1):
         state, stats = cf_train_epoch(
             cfg, pgm_cfg, dscm, state, frozen, loaders["train"], train_step,
@@ -134,6 +138,16 @@ def main(argv: Optional[list] = None) -> None:
         )
         logger.info("epoch %d | %s", epoch, stats)
         writer.add_scalars(stats, epoch, prefix="train/")
+        if epoch % cfg.eval_freq == 0:
+            # per-parent valid sweeps do(pa_k) for each k + random
+            # (reference train_cf.py:194-201, 487-497)
+            for pa_k in dag_vars + (None,):
+                ev, metrics = cf_eval_epoch(
+                    cfg, pgm_cfg, dscm, state, frozen, loaders, eval_step,
+                    jax.random.fold_in(rng, epoch), do_pa=pa_k,
+                )
+                logger.info("valid do(%s) | %s | %s", pa_k, ev, metrics)
+                writer.add_scalars(metrics, epoch, prefix=f"valid_do_{pa_k}/")
 
 
 if __name__ == "__main__":

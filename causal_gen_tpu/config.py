@@ -114,6 +114,7 @@ class Config:
     concat_pa: bool = True
     context_dim: int = 4
     context_norm: str = "log_standard"  # "[-1,1]" | "[0,1]" | "log_standard"
+    corrupt_p: float = 0.0  # cmnist label-corruption fraction (datasets.py:325)
     q_correction: bool = False
     # block body variant: "gelu6" (4-conv GELU body) or "light" (2-conv ReLU,
     # lower memory; reference vae.py:49-68 keys this off the dataset name)
@@ -125,6 +126,7 @@ class Config:
     # compute
     dtype: str = "float32"  # activations dtype for conv stacks
     use_pallas: bool = False  # fuse hot elementwise chains with Pallas kernels
+    remat: bool = False  # rematerialize conv blocks (memory <-> FLOPs trade)
     # parallelism (no reference counterpart; see SURVEY.md parallelism table)
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("data",)

@@ -168,10 +168,11 @@ def morphomnist(cfg: Config, data_dir: Optional[str] = None) -> Dict[str, ArrayD
 
 
 def cmnist(
-    cfg: Config, data_dir: Optional[str] = None, corrupt_p: float = 0.0,
+    cfg: Config, data_dir: Optional[str] = None, corrupt_p: Optional[float] = None,
     seed: int = 0,
 ) -> Dict[str, ArrayDataset]:
     root = data_dir or cfg.data_dir
+    corrupt_p = cfg.corrupt_p if corrupt_p is None else corrupt_p
 
     def build(train: bool, transform) -> ArrayDataset:
         sub = os.path.join(root, "train" if train else "test")

@@ -98,8 +98,10 @@ class Encoder(nn.Module):
     input_channels: int
     version: Optional[str] = None
     dtype: Optional[Any] = None
+    remat: bool = False  # nn.remat each block (jax.checkpoint)
 
     def setup(self):
+        BlockCls = nn.remat(Block) if self.remat else Block
         # flatten stage spec into per-block (width, down_rate) like vae.py:111-113
         flat = []
         stem_width, stem_stride = self.widths[0], 1
@@ -118,7 +120,7 @@ class Encoder(nn.Module):
         for i, (width, d) in enumerate(flat):
             prev_width = flat[max(0, i - 1)][0]
             blocks.append(
-                Block(
+                BlockCls(
                     in_width=prev_width,
                     bottleneck=prev_width // self.bottleneck,
                     out_width=width,

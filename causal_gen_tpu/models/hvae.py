@@ -56,12 +56,14 @@ class DecoderBlock(nn.Module):
     version: Optional[str]
     n_blocks: int  # total decoder depth, for 1/sqrt(L) weight scaling
     dtype: Optional[Any] = None  # conv compute dtype (bf16 -> MXU full rate)
+    remat: bool = False  # rematerialize the conv bodies (jax.checkpoint)
 
     def setup(self):
+        BlockCls = nn.remat(Block) if self.remat else Block
         bottleneck = self.in_width // self.bottleneck_factor
         k = 3 if self.resolution > 2 else 1
         scale = float(np.sqrt(1.0 / self.n_blocks))
-        self.prior = Block(
+        self.prior = BlockCls(
             in_width=self.in_width + (self.context_dim if self.cond_prior else 0),
             bottleneck=bottleneck,
             out_width=2 * self.z_dim + self.in_width,
@@ -72,7 +74,7 @@ class DecoderBlock(nn.Module):
             dtype=self.dtype,
         )
         if self.stochastic:
-            self.posterior = Block(
+            self.posterior = BlockCls(
                 in_width=2 * self.in_width + self.context_dim,
                 bottleneck=bottleneck,
                 out_width=2 * self.z_dim,
@@ -85,7 +87,7 @@ class DecoderBlock(nn.Module):
                               dtype=self.dtype)
         if not self.q_correction:
             self.z_feat_proj = nn.Conv(self.out_width, (1, 1), dtype=self.dtype)
-        self.conv = Block(
+        self.conv = BlockCls(
             in_width=self.in_width,
             bottleneck=bottleneck,
             out_width=self.out_width,
@@ -153,6 +155,7 @@ class Decoder(nn.Module):
                     version=cfg.block_version,
                     n_blocks=n,
                     dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else None,
+                    remat=cfg.remat,
                 )
             )
         self.blocks = blocks
@@ -281,6 +284,7 @@ class HVAE(nn.Module):
             input_channels=cfg.input_channels,
             version=cfg.block_version,
             dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else None,
+            remat=cfg.remat,
         )
         self.decoder = Decoder(cfg=cfg)
         self.likelihood = make_likelihood(
