@@ -1,3 +1,8 @@
+from causal_gen_tpu.parallel.distributed import (
+    host_shard_indices,
+    initialize_multihost,
+    make_global_batch,
+)
 from causal_gen_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -14,4 +19,7 @@ __all__ = [
     "replicate",
     "param_partition_spec",
     "shard_params_tp",
+    "initialize_multihost",
+    "host_shard_indices",
+    "make_global_batch",
 ]

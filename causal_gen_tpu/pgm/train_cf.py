@@ -88,17 +88,23 @@ def make_cf_optimizers(cfg: CFConfig):
 
 
 def init_cf_state(cfg: CFConfig, dscm: DSCM, vae_params: Any) -> CFTrainState:
-    trainable = dscm.init_trainable(vae_params)
     opt, lagrange_opt = make_cf_optimizers(cfg)
-    return CFTrainState(
-        step=jnp.zeros((), jnp.int32),
-        ema_updates=jnp.zeros((), jnp.int32),
-        trainable=trainable,
-        ema_trainable=jax.tree.map(jnp.copy, trainable),
-        opt_state=opt.init(trainable["vae"]),
-        lagrange_opt_state=lagrange_opt.init(trainable["lmbda"]),
-        skipped=jnp.zeros((), jnp.int32),
-    )
+    lmbda_init = dscm.lmbda_init
+
+    @jax.jit
+    def build(p):
+        trainable = {"vae": p, "lmbda": jnp.full((1,), lmbda_init, jnp.float32)}
+        return CFTrainState(
+            step=jnp.zeros((), jnp.int32),
+            ema_updates=jnp.zeros((), jnp.int32),
+            trainable=trainable,
+            ema_trainable=trainable,
+            opt_state=opt.init(trainable["vae"]),
+            lagrange_opt_state=lagrange_opt.init(trainable["lmbda"]),
+            skipped=jnp.zeros((), jnp.int32),
+        )
+
+    return build(vae_params)
 
 
 def make_cf_train_step(cfg: CFConfig, dscm: DSCM, frozen: Dict[str, Any],

@@ -117,12 +117,17 @@ def init_pgm_state(cfg: PGMConfig, model, obs: Dict[str, jnp.ndarray]) -> PGMTra
     )
     params = variables["params"]
     opt = make_pgm_optimizer(cfg)
-    return PGMTrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=params,
-        ema_params=jax.tree.map(jnp.copy, params),
-        opt_state=opt.init(params),
-    )
+
+    @jax.jit
+    def build(p):
+        return PGMTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=p,
+            ema_params=p,
+            opt_state=opt.init(p),
+        )
+
+    return build(params)
 
 
 def _attrs_only(model, batch):

@@ -50,14 +50,22 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 def init_train_state(cfg: Config, params: Any) -> TrainState:
     opt = make_optimizer(cfg)
-    return TrainState(
-        step=jnp.zeros((), jnp.int32),
-        ema_updates=jnp.zeros((), jnp.int32),
-        params=params,
-        ema_params=jax.tree.map(jnp.copy, params),
-        opt_state=opt.init(params),
-        skipped=jnp.zeros((), jnp.int32),
-    )
+
+    # one jitted program instead of hundreds of eager zeros_like/copy
+    # dispatches (each costs ~0.3s through a tunneled TPU backend)
+    @jax.jit
+    def build(p):
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            ema_updates=jnp.zeros((), jnp.int32),
+            params=p,
+            # aliasing p is safe: everything downstream is functional
+            ema_params=p,
+            opt_state=opt.init(p),
+            skipped=jnp.zeros((), jnp.int32),
+        )
+
+    return build(params)
 
 
 def global_norm(tree: Any) -> jax.Array:

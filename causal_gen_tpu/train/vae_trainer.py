@@ -208,24 +208,32 @@ def run_epoch(
     training: bool,
     epoch: int,
 ) -> Tuple[TrainState, Dict[str, float]]:
-    stats = {"elbo": 0.0, "nll": 0.0, "kl": 0.0, "n": 0}
+    # metrics stay on device until epoch end: a per-step device_get would
+    # force a host sync every step and serialize the dispatch pipeline
+    # (costly on remote/tunneled backends)
+    ms = []
+    sizes = []
     skipped_before = int(jax.device_get(state.skipped)) if training else 0
     for i, batch in enumerate(loader):
-        bs = batch["x"].shape[0]
+        sizes.append(batch["x"].shape[0])
         key = jax.random.fold_in(rng, epoch * 100000 + i)
         if training:
             accu_batch = _reshape_accu(batch, cfg.accu_steps)
             state, m = train_step(state, accu_batch, key)
-            if bool(jax.device_get(m["skipped"])):
-                continue  # skipped updates don't contribute stats (trainer.py:78-87)
         else:
             m = eval_step(state.ema_params, batch, key)
-        m = jax.device_get(m)
-        stats["elbo"] += float(m["elbo"]) * bs
-        stats["nll"] += float(m["nll"]) * bs
-        stats["kl"] += float(m["kl"]) * bs
-        stats["n"] += bs
-    n = max(stats["n"], 1)
+            m = dict(m, skipped=jnp.zeros(()))
+        ms.append(m)
+    ms = jax.device_get(ms)
+    stats = {"elbo": 0.0, "nll": 0.0, "kl": 0.0, "n": 0.0}
+    for m, bs in zip(ms, sizes):
+        w = (1.0 - float(m["skipped"])) * bs  # skipped updates excluded
+        # (trainer.py:78-87)
+        stats["elbo"] += float(m["elbo"]) * w
+        stats["nll"] += float(m["nll"]) * w
+        stats["kl"] += float(m["kl"]) * w
+        stats["n"] += w
+    n = max(stats["n"], 1.0)
     out = {k: v / n for k, v in stats.items() if k != "n"}
     if training:
         out["updates_skipped"] = int(jax.device_get(state.skipped)) - skipped_before
