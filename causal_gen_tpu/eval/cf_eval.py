@@ -51,7 +51,7 @@ def make_cf_generate_fn(cfg: Config, vae, pgm, predictor,
             method=vae.forward_latents, rngs={"sample": k2},
         )
         u = (x - rec_loc) / jnp.clip(rec_scale, min=1e-12)
-        if te_cf and getattr(vae, "cond_prior", False):
+        if te_cf and cfg.cond_prior:
             cf_z = vae.apply(
                 {"params": vae_params}, x, _pa, cf_parents=_cf_pa, alpha=alpha,
                 method=vae.abduct, rngs={"sample": k3},

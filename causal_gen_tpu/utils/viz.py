@@ -122,7 +122,9 @@ def write_images(
         pad = np.zeros((max(0, bs - d), h, w, c), np.uint8)
         rows.append(np.concatenate([row[:bs], pad], axis=0) if d < bs else row[:bs])
         rows.append(np.concatenate([diff[:bs], pad], axis=0) if d < bs else diff[:bs])
-        if getattr(model, "cond_prior", False):
+        # cfg drives the branch: setup-time module attrs (model.cond_prior)
+        # are not visible on the unbound linen module
+        if cfg.cond_prior:
             cf_z = ap(
                 model.abduct,
                 jnp.repeat(x[ii][None], d, axis=0),
