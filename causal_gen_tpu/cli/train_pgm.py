@@ -108,12 +108,69 @@ def main(argv: Optional[list] = None) -> None:
     loaders = setup_loaders(datasets, cfg.bs, seed=cfg.seed, concat_pa=False, max_batches=args.max_batches)
 
     model = build_pgm(cfg)
-    state, history = train_pgm(cfg, model, loaders, save_dir=save_dir)
+    if cfg.setup == "semi_sup":
+        state, history = run_semi_sup(cfg, model, datasets, args, save_dir)
+    else:
+        state, history = train_pgm(cfg, model, loaders, save_dir=save_dir)
     writer.add_scalars(history, cfg.epochs)
     if cfg.setup != "sup_pgm":
         metrics = pgm_eval_metrics(cfg, model, state.ema_params, loaders["valid"])
         logger.info("eval metrics: %s", metrics)
         writer.add_scalars(metrics, cfg.epochs, prefix="eval/")
+
+
+def run_semi_sup(cfg, model, datasets, args, save_dir):
+    """Semi-supervised driver: labelled/unlabelled split + interleave epochs
+    (reference train_pgm.py:287-306, 430-470)."""
+    import jax as _jax
+    import jax.numpy as jnp
+    import numpy as _np
+
+    from causal_gen_tpu.data.loader import Loader
+    from causal_gen_tpu.pgm.train_pgm import (
+        PGMTrainState,
+        make_pgm_optimizer,
+        make_semi_sup_train_step,
+        preprocess_pgm_batch,
+        save_pgm_checkpoint,
+        split_labelled_unlabelled,
+        ss_train_epoch,
+    )
+
+    ds_l, ds_u = split_labelled_unlabelled(
+        datasets["train"], cfg.sup_frac, seed=cfg.seed
+    )
+    loader_l = Loader(ds_l, cfg.bs, seed=cfg.seed, concat_pa=False,
+                      max_batches=args.max_batches)
+    loader_u = Loader(ds_u, cfg.bs, seed=cfg.seed + 1, concat_pa=False,
+                      max_batches=args.max_batches)
+    first = preprocess_pgm_batch(cfg, next(iter(loader_l)))
+    obs = {k: v for k, v in first.items() if k in model.dag_variables}
+    rng = _jax.random.PRNGKey(cfg.seed)
+    params = model.init(
+        {"params": rng, "sample": rng, "dropout": rng}, first["x"], obs,
+        method=model.init_all,
+    )["params"]
+    state = PGMTrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        ema_params=_jax.tree.map(jnp.copy, params),
+        opt_state=make_pgm_optimizer(cfg).init(params),
+    )
+    step = make_semi_sup_train_step(cfg, model, n_labelled=len(ds_l))
+    history = {}
+    for epoch in range(1, cfg.epochs + 1):
+        state, stats = ss_train_epoch(
+            cfg, model, state, loader_l, loader_u, step, rng, epoch
+        )
+        history = {f"train_{k}": v for k, v in stats.items()}
+        if save_dir and epoch % cfg.eval_freq == 0:
+            import os
+
+            save_pgm_checkpoint(
+                os.path.join(save_dir, "checkpoint"), cfg, state,
+                extra={"epoch": epoch},
+            )
+    return state, history
 
 
 if __name__ == "__main__":
