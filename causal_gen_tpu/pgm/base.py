@@ -53,6 +53,10 @@ class Node:
     # flow: (values dict) -> Transform
     transform_fn: Optional[Callable[[Dict[str, Array]], Transform]] = None
     dim: int = 1  # event dim of the value array
+    base: str = "normal"  # FLOW base distribution: "normal" | "gumbel"
+    # (gumbel base + SoftmaxCentered transform = the Gumbel-Softmax discrete
+    # mechanism of reference notebooks/discrete_mechanisms.ipynb)
+    out_dim: Optional[int] = None  # value dim if transform changes dims
 
 
 def _bernoulli_sample(key: Array, logits: Array, n: int) -> Array:
@@ -78,7 +82,10 @@ def ancestral_sample(
         elif node.kind == CATEGORICAL_ROOT:
             values[node.name] = _onehot_sample(sub, node.logits_fn(), n)
         elif node.kind == FLOW:
-            u = jax.random.normal(sub, (n, node.dim))
+            sample_base = (
+                jax.random.gumbel if node.base == "gumbel" else jax.random.normal
+            )
+            u = sample_base(sub, (n, node.dim))
             t = node.transform_fn(values)
             values[node.name], _ = t.forward(u)
         elif node.kind == GUMBEL_MAX:
@@ -114,7 +121,7 @@ def sample_scm(
         key, sub = jax.random.split(key)
         if node.name in do:
             v = jnp.asarray(do[node.name], jnp.float32)
-            d = node.dim
+            d = node.out_dim or node.dim
             if v.ndim == 0:
                 v = v[None, None]
             elif v.ndim == 1:
@@ -133,7 +140,10 @@ def sample_scm(
         elif node.kind == FLOW:
             u = noise.get(base_name)
             if u is None:
-                u = jax.random.normal(sub, (n, node.dim))
+                sample_base = (
+                    jax.random.gumbel if node.base == "gumbel" else jax.random.normal
+                )
+                u = sample_base(sub, (n, node.dim))
             t = node.transform_fn(values)
             values[node.name], _ = t.forward(u)
         elif node.kind == GUMBEL_MAX:
@@ -310,12 +320,18 @@ def counterfactual_dense(
 # ---------------------------------------------------------------------------
 
 
-def flow_logprob(t: Transform, y: Array) -> Array:
-    """log p(y) under TransformedDistribution(N(0,1), t): base logpdf at
-    u = t^-1(y) plus the inverse log-det."""
+def flow_logprob(t: Transform, y: Array, base: str = "normal") -> Array:
+    """log p(y) under TransformedDistribution(base, t): base logpdf at
+    u = t^-1(y) plus the inverse log-det (summed over the event)."""
     u, inv_ld = t.inverse(y)
-    base = -0.5 * (u**2) - 0.9189385332046727  # log sqrt(2 pi)
-    return jnp.sum(base + inv_ld, axis=-1)
+    if base == "gumbel":
+        base_lp = -(u + jnp.exp(-u))
+    else:
+        base_lp = -0.5 * (u**2) - 0.9189385332046727  # log sqrt(2 pi)
+    if inv_ld.ndim == base_lp.ndim:
+        return jnp.sum(base_lp + inv_ld, axis=-1)
+    # event-level logdet (e.g. SoftmaxCentered reduces the last dim)
+    return jnp.sum(base_lp, axis=-1) + inv_ld
 
 
 def joint_logprob(nodes: Sequence[Node], obs: Dict[str, Array]) -> Dict[str, Array]:
@@ -336,7 +352,7 @@ def joint_logprob(nodes: Sequence[Node], obs: Dict[str, Array]) -> Dict[str, Arr
         elif node.kind == CATEGORICAL_ROOT:
             out[node.name] = onehot_categorical_logpmf(y, node.logits_fn())
         elif node.kind == FLOW:
-            out[node.name] = flow_logprob(node.transform_fn(obs), y)
+            out[node.name] = flow_logprob(node.transform_fn(obs), y, node.base)
         elif node.kind == GUMBEL_MAX:
             # marginal of Gumbel-argmax is Categorical(logits)
             # (layers.py:200-217 log_prob override)

@@ -85,20 +85,34 @@ class Sigmoid(Transform):
 
 @dataclass
 class Compose(Transform):
+    """Transform chain. Logdet accumulation handles mixed granularity: when a
+    part returns an EVENT-level logdet (one fewer dim, e.g. SoftmaxCentered),
+    the running elementwise logdet is reduced over the event axis first."""
+
     parts: Sequence[Transform]
 
+    @staticmethod
+    def _accumulate(ld, d):
+        if ld is None:
+            return d
+        if d.ndim == ld.ndim:
+            return ld + d
+        if d.ndim < ld.ndim:
+            return jnp.sum(ld, axis=-1) + d
+        return ld + jnp.sum(d, axis=-1)
+
     def forward(self, x):
-        ld = jnp.zeros_like(x)
+        ld = None
         for t in self.parts:
             x, d = t.forward(x)
-            ld = ld + d
+            ld = self._accumulate(ld, d)
         return x, ld
 
     def inverse(self, y):
-        ld = jnp.zeros_like(y)
+        ld = None
         for t in reversed(list(self.parts)):
             y, d = t.inverse(y)
-            ld = ld + d
+            ld = self._accumulate(ld, d)
         return y, ld
 
 
