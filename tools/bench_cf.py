@@ -13,6 +13,11 @@ import json
 import os
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", os.path.join(

@@ -6,6 +6,11 @@ distributional statistics can only be asserted here. Also compares the
 compiled kernels' outputs against the pure-jnp ops.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
