@@ -24,6 +24,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exp_name", default="")
     p.add_argument("--data_dir", default="")
     p.add_argument("--save_dir", default="")
+    p.add_argument("--resume", default="", help="CF checkpoint to resume")
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--max_batches", type=int, default=None,
                    help="cap batches/epoch (smoke runs)")
@@ -75,8 +76,10 @@ def main(argv: Optional[list] = None) -> None:
         cf_eval_epoch,
         cf_train_epoch,
         init_cf_state,
+        load_cf_checkpoint,
         make_cf_eval_step,
         make_cf_train_step,
+        save_cf_checkpoint,
     )
     from causal_gen_tpu.pgm.train_pgm import PGMConfig
     from causal_gen_tpu.train.checkpoint import load_checkpoint
@@ -123,6 +126,13 @@ def main(argv: Optional[list] = None) -> None:
     )
     frozen = {"pgm": pgm_state.ema_params, "predictor": pred_state.ema_params}
     state = init_cf_state(cfg, dscm, vae_state.ema_params)
+    start_epoch = 1
+    if args.resume and os.path.exists(args.resume + ".meta.json"):
+        # resume with both optimizer states (reference train_cf.py:460-471)
+        cfg, state, extra = load_cf_checkpoint(args.resume)
+        start_epoch = int(extra.get("epoch", 0)) + 1
+        logger = setup_logging(save_dir)
+        logger.info("resumed from %s at epoch %d", args.resume, start_epoch)
     train_step = make_cf_train_step(cfg, dscm, frozen)
     eval_step = make_cf_eval_step(cfg, dscm, frozen)
 
@@ -131,7 +141,7 @@ def main(argv: Optional[list] = None) -> None:
     rng = jax.random.PRNGKey(cfg.seed)
     host_rng = np.random.default_rng(cfg.seed)
     dag_vars = tuple(pgm.dag_variables.keys())
-    for epoch in range(1, cfg.epochs + 1):
+    for epoch in range(start_epoch, cfg.epochs + 1):
         state, stats = cf_train_epoch(
             cfg, pgm_cfg, dscm, state, frozen, loaders["train"], train_step,
             rng, epoch, host_rng,
@@ -148,6 +158,10 @@ def main(argv: Optional[list] = None) -> None:
                 )
                 logger.info("valid do(%s) | %s | %s", pa_k, ev, metrics)
                 writer.add_scalars(metrics, epoch, prefix=f"valid_do_{pa_k}/")
+            save_cf_checkpoint(
+                os.path.join(save_dir, "checkpoint"), cfg, state,
+                extra={"epoch": epoch},
+            )
 
 
 if __name__ == "__main__":

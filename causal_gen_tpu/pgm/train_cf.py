@@ -89,7 +89,9 @@ def make_cf_optimizers(cfg: CFConfig):
 
 def init_cf_state(cfg: CFConfig, dscm: DSCM, vae_params: Any) -> CFTrainState:
     opt, lagrange_opt = make_cf_optimizers(cfg)
-    lmbda_init = dscm.lmbda_init
+    # cfg is authoritative for the multiplier init (train_cf.py args.lmbda_init);
+    # dscm.lmbda_init is kept in sync by the CLI
+    lmbda_init = cfg.lmbda_init
 
     @jax.jit
     def build(p):
@@ -228,6 +230,60 @@ def dense_intervention(
             values[k] = jnp.zeros_like(batch[k])
             mask[k] = jnp.zeros((n, 1), jnp.float32)
     return values, mask
+
+
+def save_cf_checkpoint(path: str, cfg: CFConfig, state: CFTrainState,
+                       extra: Optional[Dict[str, Any]] = None) -> None:
+    """CF checkpoint incl. both optimizer states
+    (reference train_cf.py:511-529)."""
+    import dataclasses
+    import json
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ocp.PyTreeCheckpointer().save(
+        path,
+        {
+            "trainable": jax.device_get(state.trainable),
+            "ema_trainable": jax.device_get(state.ema_trainable),
+            "opt_state": jax.device_get(state.opt_state),
+            "lagrange_opt_state": jax.device_get(state.lagrange_opt_state),
+            "step": int(jax.device_get(state.step)),
+            "ema_updates": int(jax.device_get(state.ema_updates)),
+            "skipped": int(jax.device_get(state.skipped)),
+        },
+        force=True,
+    )
+    with open(path + ".meta.json", "w") as f:
+        json.dump({"config": dataclasses.asdict(cfg), "extra": extra or {}},
+                  f, indent=2, default=str)
+
+
+def load_cf_checkpoint(path: str) -> Tuple[CFConfig, CFTrainState, Dict[str, Any]]:
+    import json
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(path + ".meta.json") as f:
+        meta = json.load(f)
+    d = {k: tuple(v) if isinstance(v, list) else v
+         for k, v in meta["config"].items()}
+    cfg = CFConfig(**d)
+    p = ocp.PyTreeCheckpointer().restore(path)
+    state = CFTrainState(
+        step=jnp.asarray(p["step"], jnp.int32),
+        ema_updates=jnp.asarray(p["ema_updates"], jnp.int32),
+        trainable=p["trainable"],
+        ema_trainable=p["ema_trainable"],
+        opt_state=p["opt_state"],
+        lagrange_opt_state=p["lagrange_opt_state"],
+        skipped=jnp.asarray(p.get("skipped", 0), jnp.int32),
+    )
+    return cfg, state, meta.get("extra", {})
 
 
 def cf_get_metrics(

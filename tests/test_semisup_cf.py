@@ -148,3 +148,32 @@ class TestCFEvalEpoch:
         )
         assert np.isfinite(stats["loss"])
         assert "thickness_mae" in metrics and "digit_acc" in metrics
+
+
+class TestCFCheckpoint:
+    def test_cf_checkpoint_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from causal_gen_tpu.pgm.train_cf import (
+            CFConfig,
+            init_cf_state,
+            load_cf_checkpoint,
+            save_cf_checkpoint,
+        )
+        from tests.test_dscm import build_dscm
+
+        dscm, vae_params, frozen, cfg = build_dscm(res=16)
+        cf_cfg = CFConfig(lmbda_init=0.5, elbo_constraint=1.8)
+        state = init_cf_state(cf_cfg, dscm, vae_params)
+        path = str(tmp_path / "cf_ckpt")
+        save_cf_checkpoint(path, cf_cfg, state, extra={"epoch": 7})
+        cfg2, state2, extra = load_cf_checkpoint(path)
+        assert extra["epoch"] == 7
+        assert cfg2.elbo_constraint == 1.8
+        same = jax.tree.map(
+            lambda a, b: bool(np.allclose(a, b)),
+            state.trainable, state2.trainable,
+        )
+        assert all(jax.tree.leaves(same))
+        assert float(state2.trainable["lmbda"][0]) == 0.5
