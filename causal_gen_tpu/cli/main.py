@@ -70,8 +70,20 @@ def main(argv: Optional[list] = None) -> None:
 
     init_state = None
     if args.resume and os.path.exists(args.resume + ".meta.json"):
-        # hparams stored in the checkpoint are authoritative (main.py:31-36)
-        cfg, init_state, extra = load_checkpoint(args.resume)
+        # hparams stored in the checkpoint are authoritative (main.py:31-36);
+        # rebuild a template state so the optimizer NamedTuples restore with
+        # their structure intact
+        import jax as _jax
+
+        from causal_gen_tpu.train.state import init_train_state
+        from causal_gen_tpu.train.vae_trainer import init_model_params
+
+        cfg, _, _ = load_checkpoint(args.resume)
+        cfg = cfg.replace(**{k: v for k, v in overrides.items() if k in ("lr", "epochs", "data_dir")})
+        _model = SimpleVAE(cfg=cfg) if cfg.vae == "simple" else HVAE(cfg=cfg)
+        _params = init_model_params(cfg, _model, _jax.random.PRNGKey(cfg.seed))
+        template = init_train_state(cfg, _params)
+        cfg, init_state, extra = load_checkpoint(args.resume, template_state=template)
         cfg = cfg.replace(**{k: v for k, v in overrides.items() if k in ("lr", "epochs", "data_dir")})
     else:
         cfg = get_config(args.hps, **overrides)

@@ -46,17 +46,33 @@ def save_checkpoint(
 
 
 def load_checkpoint(
-    path: str, model_init_fn=None
+    path: str, template_state: Optional[TrainState] = None
 ) -> Tuple[Config, TrainState, Dict[str, Any]]:
-    """Returns (config-from-checkpoint, state, extra). If model_init_fn is
-    given it must return a template TrainState used to restore with correct
-    pytree structure/dtypes; otherwise raw arrays are loaded."""
+    """Returns (config-from-checkpoint, state, extra).
+
+    Param trees are plain dicts and restore structurally as-is; the OPTIMIZER
+    state is a tree of optax NamedTuples whose structure orbax cannot recover
+    without a template — pass ``template_state`` (a freshly-initialized
+    TrainState for the same config) when the optimizer state must survive
+    (training resume). Without it, opt_state comes back as raw nested dicts
+    (fine for inference / DSCM merge which only reads params/ema_params)."""
     path = os.path.abspath(path)
     with open(path + ".meta.json") as f:
         meta = json.load(f)
     cfg = Config.from_dict(meta["config"])
     ckptr = ocp.PyTreeCheckpointer()
-    payload = ckptr.restore(path)
+    if template_state is not None:
+        item = {
+            "params": jax.device_get(template_state.params),
+            "ema_params": jax.device_get(template_state.ema_params),
+            "opt_state": jax.device_get(template_state.opt_state),
+            "step": 0,
+            "ema_updates": 0,
+            "skipped": 0,
+        }
+        payload = ckptr.restore(path, item=item)
+    else:
+        payload = ckptr.restore(path)
     import jax.numpy as jnp
 
     state = TrainState(
