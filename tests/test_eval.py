@@ -159,3 +159,29 @@ class TestCFEval:
         assert "thickness_measured_mae" in stats
         for v in stats.values():
             assert np.isfinite(v)
+
+
+class TestVizCondPrior:
+    def test_total_effect_rows_present(self, tmp_path):
+        from causal_gen_tpu.models.hvae import HVAE
+        from causal_gen_tpu.train.vae_trainer import init_model_params
+        from causal_gen_tpu.utils.viz import write_images
+        from tests.test_train import tiny_cfg
+
+        cfg = tiny_cfg(bs=4, cond_prior=True)
+        model = HVAE(cfg=cfg)
+        params = init_model_params(cfg, model, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        batch = {
+            "x": rng.integers(0, 256, (4, 16, 16, 1)).astype(np.uint8),
+            "pa": rng.uniform(-1, 1, (4, 12)).astype(np.float32),
+        }
+        im = write_images(cfg, model, params, batch, str(tmp_path / "v.png"))
+        # cond_prior adds one total-effect row per sample vs the exogenous
+        # grid: rows = 13 header + 4*(2+1)... verify it exceeds the base grid
+        cfg2 = tiny_cfg(bs=4)
+        im2 = write_images(cfg2, model.__class__(cfg=cfg2),
+                           init_model_params(cfg2, model.__class__(cfg=cfg2),
+                                             jax.random.PRNGKey(0)),
+                           batch, str(tmp_path / "v2.png"))
+        assert im.shape[0] > im2.shape[0]
