@@ -236,6 +236,9 @@ register(
     dec_arch="1b2,6b4,12b8,24b12,48b8,96b4,192b2",
     widths=(32, 64, 96, 128, 160, 192, 512),
     block_version="light",
+    # wide 192² stacks win from bf16 convs (measured 1.43x on v5e);
+    # distribution math stays f32 — pass dtype="float32" for strict parity
+    dtype="bfloat16",
 )
 
 register(
@@ -249,6 +252,7 @@ register(
     enc_arch="192b1d2,96b3d2,48b7d2,24b11d2,12b7d2,6b3d6,1b2",
     dec_arch="1b2,6b4,12b8,24b12,48b8,96b4,192b2",
     widths=(32, 64, 96, 128, 160, 192, 512),
+    dtype="bfloat16",  # see ukbb192 note
 )
 
 
