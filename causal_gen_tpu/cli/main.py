@@ -7,7 +7,6 @@ Usage: python -m causal_gen_tpu.cli.main --hps morphomnist --epochs 10 ...
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 from typing import Optional
 

@@ -10,7 +10,7 @@ np.random.Generator for reproducibility (replaces global torch RNG).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

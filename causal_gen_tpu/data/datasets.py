@@ -20,7 +20,7 @@ The data contract matches the reference (SURVEY.md §1 L1): each batch is
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np

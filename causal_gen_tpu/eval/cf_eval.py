@@ -13,7 +13,7 @@ TPU-native: the whole per-batch counterfactual generation (PGM cf + abduct +
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

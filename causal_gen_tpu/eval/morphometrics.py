@@ -13,7 +13,6 @@ get_intensity: median of pixels above min + 0.5*(max-min).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 from scipy import ndimage

@@ -10,7 +10,7 @@ DCN across slices.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import jax
 import numpy as np

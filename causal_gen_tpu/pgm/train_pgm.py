@@ -22,8 +22,8 @@ unnormalizations (train_pgm.py:196-249).
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
 
 import flax.struct
 import jax
@@ -31,7 +31,6 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from causal_gen_tpu.config import Config
 from causal_gen_tpu.data.loader import Loader
 from causal_gen_tpu.train.state import clip_by_global_norm
 from causal_gen_tpu.utils.ema import ema_update

@@ -20,7 +20,7 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 from causal_gen_tpu.config import Config
-from causal_gen_tpu.train.state import TrainState, init_train_state
+from causal_gen_tpu.train.state import TrainState
 
 
 def save_checkpoint(

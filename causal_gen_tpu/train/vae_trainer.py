@@ -19,10 +19,8 @@ checkpointing). TPU-native redesign:
 
 from __future__ import annotations
 
-import functools
 import json
 import logging
-import math
 import os
 import time
 from typing import Any, Dict, Optional, Tuple
