@@ -86,10 +86,14 @@ def eval_counterfactuals(
     do_pa: Optional[str] = None,
     seed: int = 0,
     measure: bool = True,
+    te_cf: bool = False,
+    alpha: float = 0.65,
 ) -> Dict[str, float]:
     """One evaluation sweep (one seed): returns per-variable metrics and,
-    for Morpho-MNIST, measured thickness/intensity MAEs."""
-    gen = make_cf_generate_fn(cfg, vae, pgm, predictor)
+    for Morpho-MNIST, measured thickness/intensity MAEs. ``te_cf`` switches
+    the cond_prior total-effect path (mediator z* via the alpha-mixture
+    abduction, eval_example.ipynb cell 9)."""
+    gen = make_cf_generate_fn(cfg, vae, pgm, predictor, te_cf=te_cf, alpha=alpha)
     rng = jax.random.PRNGKey(seed)
     host = np.random.default_rng(seed)
     dag_vars = list(pgm.dag_variables.keys())
@@ -159,13 +163,14 @@ def eval_cf_loop(
     cfg: Config, vae, vae_params, pgm, pgm_params, predictor, pred_params,
     loader: Loader, train_attrs: Dict[str, np.ndarray],
     seeds: Tuple[int, ...] = (0, 1, 2), do_pa: Optional[str] = None,
-    measure: bool = True,
+    measure: bool = True, te_cf: bool = False, alpha: float = 0.65,
 ) -> Dict[str, Tuple[float, float]]:
     """Multi-seed mean+-std (eval_example.ipynb cell 9 protocol)."""
     runs = [
         eval_counterfactuals(
             cfg, vae, vae_params, pgm, pgm_params, predictor, pred_params,
             loader, train_attrs, do_pa=do_pa, seed=s, measure=measure,
+            te_cf=te_cf, alpha=alpha,
         )
         for s in seeds
     ]
