@@ -127,11 +127,23 @@ class Config:
     dtype: str = "float32"  # activations dtype for conv stacks
     use_pallas: bool = False  # fuse hot elementwise chains with Pallas kernels
     remat: bool = False  # rematerialize conv blocks (memory <-> FLOPs trade)
+    # round every conv width up to a multiple of this (0 = off). TPU lanes are
+    # 128-wide; narrow channel dims underfill the MXU. Changes model capacity,
+    # so it is OFF for parity configs and opt-in for perf variants.
+    width_multiple: int = 0
     # parallelism (no reference counterpart; see SURVEY.md parallelism table)
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("data",)
 
     # ---- derived, static structure -------------------------------------
+    @property
+    def model_widths(self) -> Tuple[int, ...]:
+        """Conv stage widths after optional lane-friendly rounding."""
+        if self.width_multiple <= 0:
+            return self.widths
+        m = self.width_multiple
+        return tuple(-(-w // m) * m for w in self.widths)
+
     @property
     def enc_stages(self) -> Tuple[EncStage, ...]:
         return parse_enc_arch(self.enc_arch)

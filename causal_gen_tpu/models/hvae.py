@@ -134,7 +134,7 @@ class Decoder(nn.Module):
     def setup(self):
         cfg = self.cfg
         stages: List[Tuple[int, int]] = []  # (res, width) flattened per block
-        rev_widths = tuple(reversed(cfg.widths))
+        rev_widths = tuple(reversed(cfg.model_widths))
         for i, st in enumerate(cfg.dec_stages):
             stages += [(st.res, rev_widths[i]) for _ in range(st.n_blocks)]
         n = len(stages)
@@ -279,7 +279,7 @@ class HVAE(nn.Module):
         cfg = self.cfg
         self.encoder = Encoder(
             stages=cfg.enc_stages,
-            widths=cfg.widths,
+            widths=cfg.model_widths,
             bottleneck=cfg.bottleneck,
             input_channels=cfg.input_channels,
             version=cfg.block_version,
@@ -288,7 +288,7 @@ class HVAE(nn.Module):
         )
         self.decoder = Decoder(cfg=cfg)
         self.likelihood = make_likelihood(
-            cfg.input_channels, cfg.widths[0], cfg.x_like, cfg.std_init
+            cfg.input_channels, cfg.model_widths[0], cfg.x_like, cfg.std_init
         )
         self.cond_prior = cfg.cond_prior
         self.free_bits = cfg.kl_free_bits
