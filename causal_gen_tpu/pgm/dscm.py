@@ -148,6 +148,9 @@ class DSCM:
                 {"params": vae_params}, x, _pa, t=t_abduct,
                 method=self.vae.abduct, rngs={"sample": k2},
             )
+            # cond_prior abduction returns {z, q_loc, q_logscale} dicts
+            # (vae.py:271-276); the decoder consumes plain latents
+            zs = [z["z"] if isinstance(z, dict) else z for z in zs]
             cf_loc, cf_scale = self.vae.apply(
                 {"params": vae_params}, zs, _cf_pa,
                 method=self.vae.forward_latents, rngs={"sample": k3},

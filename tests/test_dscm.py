@@ -241,3 +241,32 @@ class TestDSCM:
         )
         assert np.isfinite(stats["loss"])
         assert np.isfinite(stats["aux_loss"])
+
+
+class TestDSCMCondPrior:
+    def test_forward_with_cond_prior_vae(self):
+        """DSCM forward must unwrap the cond_prior abduct dicts
+        (vae.py:271-276) before forwarding latents."""
+        from causal_gen_tpu.models.hvae import HVAE
+        from causal_gen_tpu.pgm.dscm import DSCM
+        from causal_gen_tpu.train.vae_trainer import init_model_params
+
+        res = 16
+        cfg = get_config(
+            "morphomnist", bs=8, input_res=res,
+            enc_arch=f"{res}b1d2,{res//2}b1d2,{res//4}b1d4,1b1",
+            dec_arch=f"1b1,{res//4}b1,{res//2}b1,{res}b1",
+            widths=(8, 8, 16, 16), z_dim=4, bias_max_res=res,
+            cond_prior=True,
+        )
+        vae = HVAE(cfg=cfg)
+        vae_params = init_model_params(cfg, vae, jax.random.PRNGKey(0))
+        dscm0, _, frozen, _ = build_dscm(res=res)
+        dscm = DSCM(cfg=cfg, pgm=dscm0.pgm, predictor=dscm0.predictor,
+                    vae=vae, elbo_constraint=1.8)
+        trainable = dscm.init_trainable(vae_params)
+        batch = synth_batch()
+        do = {"thickness": jnp.full((8, 1), 0.5)}
+        out = dscm.forward(trainable, frozen, batch, do, jax.random.PRNGKey(0))
+        assert np.isfinite(float(out["loss"]))
+        assert out["cfs"]["x"].shape == batch["x"].shape
