@@ -76,13 +76,16 @@ def main(argv: Optional[list] = None) -> None:
         cf_eval_epoch,
         cf_train_epoch,
         init_cf_state,
+        cf_state_payload,
         load_cf_checkpoint,
         make_cf_eval_step,
         make_cf_train_step,
-        save_cf_checkpoint,
     )
     from causal_gen_tpu.pgm.train_pgm import PGMConfig
-    from causal_gen_tpu.train.checkpoint import load_checkpoint
+    from causal_gen_tpu.train.checkpoint import (
+        AsyncCheckpointWriter,
+        load_checkpoint,
+    )
     from causal_gen_tpu.train.experiment import (
         MetricWriter,
         setup_directories,
@@ -119,6 +122,9 @@ def main(argv: Optional[list] = None) -> None:
     setup_directories(save_dir)
     logger = setup_logging(save_dir)
     writer = MetricWriter(save_dir)
+    # async + rotated: the CF state carries the full HVAE params, so
+    # serialization off the train thread matters here
+    ckpt_writer = AsyncCheckpointWriter(save_dir)
 
     dscm = DSCM(
         cfg=vae_cfg, pgm=pgm, predictor=predictor, vae=vae,
@@ -158,10 +164,14 @@ def main(argv: Optional[list] = None) -> None:
                 )
                 logger.info("valid do(%s) | %s | %s", pa_k, ev, metrics)
                 writer.add_scalars(metrics, epoch, prefix=f"valid_do_{pa_k}/")
-            save_cf_checkpoint(
-                os.path.join(save_dir, "checkpoint"), cfg, state,
-                extra={"epoch": epoch},
+            import dataclasses
+
+            ckpt_writer.save(
+                cf_state_payload(state),
+                {"config": dataclasses.asdict(cfg), "extra": {"epoch": epoch}},
+                step=int(jax.device_get(state.step)),
             )
+    ckpt_writer.close()
 
 
 if __name__ == "__main__":

@@ -98,6 +98,7 @@ class Config:
     kl_free_bits: float = 0.0
     viz_freq: int = 10000
     eval_freq: int = 5
+    ckpt_max_to_keep: int = 3  # async-writer rotation depth (best is immune)
     # model
     vae: str = "hierarchical"  # "simple" | "hierarchical"
     enc_arch: str = "64b1d2,32b1d2,16b1d2,8b1d8,1b2"

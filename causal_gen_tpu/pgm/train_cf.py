@@ -232,6 +232,20 @@ def dense_intervention(
     return values, mask
 
 
+def cf_state_payload(state: CFTrainState) -> Dict[str, Any]:
+    """CFTrainState -> host-side checkpoint payload incl. both optimizer
+    states (reference train_cf.py:511-529)."""
+    return {
+        "trainable": jax.device_get(state.trainable),
+        "ema_trainable": jax.device_get(state.ema_trainable),
+        "opt_state": jax.device_get(state.opt_state),
+        "lagrange_opt_state": jax.device_get(state.lagrange_opt_state),
+        "step": int(jax.device_get(state.step)),
+        "ema_updates": int(jax.device_get(state.ema_updates)),
+        "skipped": int(jax.device_get(state.skipped)),
+    }
+
+
 def save_cf_checkpoint(path: str, cfg: CFConfig, state: CFTrainState,
                        extra: Optional[Dict[str, Any]] = None) -> None:
     """CF checkpoint incl. both optimizer states
@@ -243,19 +257,7 @@ def save_cf_checkpoint(path: str, cfg: CFConfig, state: CFTrainState,
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    ocp.PyTreeCheckpointer().save(
-        path,
-        {
-            "trainable": jax.device_get(state.trainable),
-            "ema_trainable": jax.device_get(state.ema_trainable),
-            "opt_state": jax.device_get(state.opt_state),
-            "lagrange_opt_state": jax.device_get(state.lagrange_opt_state),
-            "step": int(jax.device_get(state.step)),
-            "ema_updates": int(jax.device_get(state.ema_updates)),
-            "skipped": int(jax.device_get(state.skipped)),
-        },
-        force=True,
-    )
+    ocp.PyTreeCheckpointer().save(path, cf_state_payload(state), force=True)
     with open(path + ".meta.json", "w") as f:
         json.dump({"config": dataclasses.asdict(cfg), "extra": extra or {}},
                   f, indent=2, default=str)

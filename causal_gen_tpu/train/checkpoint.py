@@ -13,7 +13,8 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, Optional, Tuple
+import shutil
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import numpy as np
@@ -23,14 +24,119 @@ from causal_gen_tpu.config import Config
 from causal_gen_tpu.train.state import TrainState
 
 
-def save_checkpoint(
-    path: str,
-    cfg: Config,
-    state: TrainState,
-    extra: Optional[Dict[str, Any]] = None,
-) -> None:
-    path = os.path.abspath(path)
-    payload = {
+class AsyncCheckpointWriter:
+    """Async checkpoint writer with rotation/GC and a best-pointer.
+
+    TPU-native upgrade over the reference's blocking ``torch.save``-on-best
+    (trainer.py:156-168): arrays are snapshotted to host, then serialization
+    runs on orbax's background thread (``ocp.AsyncCheckpointer``) so the
+    train loop returns to stepping immediately. Each save lands in
+    ``<directory>/step_<n>``; checkpoints beyond ``max_to_keep`` are
+    garbage-collected oldest-first, always retaining the best-metric one
+    (lower is better, matching best-validation-ELBO retention). A
+    ``<directory>/<link_name>`` symlink tracks the best checkpoint so the
+    existing ``load_checkpoint(save_dir + "/checkpoint")`` call sites and the
+    DSCM merge keep working unchanged.
+
+    Generic over the payload (a pytree dict) + meta (JSON) so the HVAE, PGM,
+    and CF trainers share one writer.
+    """
+
+    def __init__(
+        self,
+        directory: str,
+        max_to_keep: int = 3,
+        link_name: str = "checkpoint",
+    ) -> None:
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.max_to_keep = max(1, int(max_to_keep))
+        self.link_name = link_name
+        self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        # entries ordered by save time: {"path", "step", "metric"}
+        self._entries: List[Dict[str, Any]] = []
+
+    # -- helpers ------------------------------------------------------------
+
+    def _best(self) -> Optional[Dict[str, Any]]:
+        scored = [e for e in self._entries if e["metric"] is not None]
+        if scored:
+            return min(scored, key=lambda e: e["metric"])
+        return self._entries[-1] if self._entries else None
+
+    def _gc(self) -> None:
+        """Delete oldest checkpoints beyond max_to_keep (best is immune).
+
+        Only called after wait_until_finished, so every entry is complete."""
+        best = self._best()
+        keep = set()
+        if best is not None:
+            keep.add(best["path"])
+        for e in reversed(self._entries):  # newest first
+            if len(keep) >= self.max_to_keep:
+                break
+            keep.add(e["path"])
+        for e in list(self._entries):
+            if e["path"] not in keep:
+                shutil.rmtree(e["path"], ignore_errors=True)
+                meta = e["path"] + ".meta.json"
+                if os.path.exists(meta):
+                    os.remove(meta)
+                self._entries.remove(e)
+
+    def _update_link(self) -> None:
+        best = self._best()
+        if best is None:
+            return
+        link = os.path.join(self.directory, self.link_name)
+        for suffix in ("", ".meta.json"):
+            tmp = link + suffix + ".tmp"
+            if os.path.lexists(tmp):
+                os.remove(tmp)
+            os.symlink(best["path"] + suffix, tmp)
+            os.replace(tmp, link + suffix)
+
+    # -- API ----------------------------------------------------------------
+
+    def save(
+        self,
+        payload: Dict[str, Any],
+        meta: Dict[str, Any],
+        step: int,
+        metric: Optional[float] = None,
+    ) -> str:
+        """Queue an async save; returns the checkpoint path immediately."""
+        # serialize with any in-flight save, then GC completed ones
+        self._ckptr.wait_until_finished()
+        self._update_link()
+        self._gc()
+        path = os.path.join(self.directory, f"step_{int(step):010d}")
+        payload = jax.device_get(payload)  # snapshot before donation reuse
+        self._ckptr.save(path, args=ocp.args.PyTreeSave(payload), force=True)
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+        self._entries.append(
+            {"path": path, "step": int(step),
+             "metric": None if metric is None else float(metric)}
+        )
+        with open(os.path.join(self.directory, "index.json"), "w") as f:
+            json.dump({"entries": self._entries}, f, indent=2)
+        return path
+
+    def wait(self) -> None:
+        """Block until all queued saves are durable; refresh best pointer."""
+        self._ckptr.wait_until_finished()
+        self._update_link()
+        self._gc()
+
+    def close(self) -> None:
+        self.wait()
+        self._ckptr.close()
+
+
+def state_payload(state: TrainState) -> Dict[str, Any]:
+    """TrainState -> host-side checkpoint payload dict."""
+    return {
         "params": jax.device_get(state.params),
         "ema_params": jax.device_get(state.ema_params),
         "opt_state": jax.device_get(state.opt_state),
@@ -38,6 +144,16 @@ def save_checkpoint(
         "ema_updates": int(jax.device_get(state.ema_updates)),
         "skipped": int(jax.device_get(state.skipped)),
     }
+
+
+def save_checkpoint(
+    path: str,
+    cfg: Config,
+    state: TrainState,
+    extra: Optional[Dict[str, Any]] = None,
+) -> None:
+    path = os.path.abspath(path)
+    payload = state_payload(state)
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, payload, force=True)
     meta = {"config": cfg.to_dict(), "extra": extra or {}}

@@ -263,6 +263,12 @@ def train(
     train_step = make_train_step(cfg, model)
     eval_step = make_eval_step(cfg, model)
 
+    writer = None
+    if save_dir:
+        from causal_gen_tpu.train.checkpoint import AsyncCheckpointWriter
+
+        writer = AsyncCheckpointWriter(save_dir, max_to_keep=cfg.ckpt_max_to_keep)
+
     best_loss = float("inf")
     history: Dict[str, float] = {}
     for epoch in range(1, (epochs or cfg.epochs) + 1):
@@ -287,14 +293,19 @@ def train(
                 epoch, ev["elbo"], ev["nll"], ev["kl"],
             )
             history.update({f"valid_{k}": v for k, v in ev.items()})
-            if ev["elbo"] < best_loss and save_dir:
+            if ev["elbo"] < best_loss and writer is not None:
                 best_loss = ev["elbo"]
-                from causal_gen_tpu.train.checkpoint import save_checkpoint
+                from causal_gen_tpu.train.checkpoint import state_payload
 
-                save_checkpoint(
-                    os.path.join(save_dir, "checkpoint"), cfg, state,
-                    extra={"epoch": epoch, "best_loss": best_loss},
+                writer.save(
+                    state_payload(state),
+                    {"config": cfg.to_dict(),
+                     "extra": {"epoch": epoch, "best_loss": best_loss}},
+                    step=int(jax.device_get(state.step)),
+                    metric=float(ev["elbo"]),
                 )
         if callback is not None:
             callback(epoch, state, history)
+    if writer is not None:
+        writer.close()
     return state, history

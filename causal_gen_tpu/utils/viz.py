@@ -67,8 +67,16 @@ def write_images(
     rng: Optional[jax.Array] = None,
     alpha: float = 0.6,
     t: float = 0.5,
+    n_latents_viz: int = 0,
 ) -> np.ndarray:
-    """Build + save the viz grid; returns the uint8 image array."""
+    """Build + save the viz grid; returns the uint8 image array.
+
+    ``n_latents_viz`` > 0 adds the reference's partial-abduction sweep
+    (utils.py:293-305, 394-398): reconstructions and counterfactual panels
+    computed from only the first ``l`` abducted latents at each of the
+    ``l_points`` cut levels (remaining latents drawn from the prior), showing
+    the information content of each level of the hierarchy. 0 keeps the
+    reference default (full abduction only)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     x = jnp.asarray(batch["x"], jnp.float32)
     if x.dtype == jnp.float32 and float(jnp.max(jnp.abs(x))) > 1.5:
@@ -84,11 +92,16 @@ def write_images(
     orig = _postprocess(x)
     rows: List[np.ndarray] = [orig]
 
-    # reconstruction from fully abducted latents (utils.py:289-305)
+    # reconstructions from the first l abducted latents at each cut level
+    # (utils.py:289-305); n_latents_viz=0 -> l_points=[len(zs)] (full recon)
     zs = ap(model.abduct, x, pa)
     z_plain = [z["z"] if isinstance(z, dict) else z for z in zs]
-    x_rec, _ = ap(model.forward_latents, z_plain, pa, t=0.1)
-    rows.append(_postprocess(x_rec))
+    l_points = np.floor(
+        np.linspace(0, 1, n_latents_viz + 2) * len(zs)
+    ).astype(int)[1:]
+    for l in l_points:
+        x_rec, _ = ap(model.forward_latents, z_plain[: int(l)], pa, t=0.1)
+        rows.append(_postprocess(x_rec))
     rows.append(np.zeros_like(orig))
 
     # unconditional samples at 10 temperatures (utils.py:307-311)
@@ -104,38 +117,52 @@ def write_images(
     host_rng.shuffle(idx)
     pa_np = np.asarray(pa)
     d = cfg.context_dim
-    for ii in range(bs):
-        cf_pa = make_cf_parents(cfg, pa_np[ii], pa_np[idx[ii]])
-        pa_rep = jnp.tile(pa[ii][None], (d, 1))
-        z_i = [
-            jax.tree.map(lambda v: jnp.repeat(v[ii][None], d, axis=0), z)
-            for z in zs
-        ]
-        z_plain_i = [z["z"] if isinstance(z, dict) else z for z in z_i]
-        rec_loc, _ = ap(model.forward_latents, z_plain_i, pa_rep, t=t)
-        # direct-effect cf: x* = g(pa*, z)
-        cf_loc, _ = ap(model.forward_latents, z_plain_i, jnp.asarray(cf_pa), t=t)
-        row = _postprocess(cf_loc)
-        diff = (_postprocess(cf_loc).astype(np.int16) - _postprocess(rec_loc)).astype(
-            np.uint8
-        )
-        pad = np.zeros((max(0, bs - d), h, w, c), np.uint8)
-        rows.append(np.concatenate([row[:bs], pad], axis=0) if d < bs else row[:bs])
-        rows.append(np.concatenate([diff[:bs], pad], axis=0) if d < bs else diff[:bs])
-        # cfg drives the branch: setup-time module attrs (model.cond_prior)
-        # are not visible on the unbound linen module
-        if cfg.cond_prior:
-            cf_z = ap(
-                model.abduct,
-                jnp.repeat(x[ii][None], d, axis=0),
-                pa_rep,
-                cf_parents=jnp.asarray(cf_pa),
-                alpha=alpha,
-                t=t,
+    pad = np.zeros((max(0, bs - d), h, w, c), np.uint8)
+
+    def _row(img: np.ndarray) -> np.ndarray:
+        return np.concatenate([img[:bs], pad], axis=0) if d < bs else img[:bs]
+
+    for l in l_points:
+        for ii in range(bs):
+            cf_pa = make_cf_parents(cfg, pa_np[ii], pa_np[idx[ii]])
+            pa_rep = jnp.tile(pa[ii][None], (d, 1))
+            z_i = [
+                jax.tree.map(lambda v: jnp.repeat(v[ii][None], d, axis=0), z)
+                for z in zs[: int(l)]  # partial abduction at cut level l
+            ]
+            z_plain_i = [z["z"] if isinstance(z, dict) else z for z in z_i]
+            rec_loc, _ = ap(model.forward_latents, z_plain_i, pa_rep, t=t)
+            rec = _postprocess(rec_loc).astype(np.int16)
+            # direct-effect cf: x* = g(pa*, z)
+            cf_loc, _ = ap(
+                model.forward_latents, z_plain_i, jnp.asarray(cf_pa), t=t
             )
-            te_loc, _ = ap(model.forward_latents, cf_z, jnp.asarray(cf_pa), t=t)
-            te = _postprocess(te_loc)
-            rows.append(np.concatenate([te[:bs], pad], axis=0) if d < bs else te[:bs])
+            de = _postprocess(cf_loc)
+            rows.append(_row(de))
+            rows.append(_row((de.astype(np.int16) - rec).astype(np.uint8)))
+            # cfg drives the branch: setup-time module attrs (model.cond_prior)
+            # are not visible on the unbound linen module
+            if cfg.cond_prior:
+                cf_z = ap(
+                    model.abduct,
+                    jnp.repeat(x[ii][None], d, axis=0),
+                    pa_rep,
+                    cf_parents=jnp.asarray(cf_pa),
+                    alpha=alpha,
+                    t=t,
+                )
+                # cf_z stays full-length (the reference truncates only the
+                # direct-effect z at l, utils.py:274 vs 395-398)
+                # indirect effect x* = g(pa, z*) then total x* = g(pa*, z*)
+                # (utils.py:274-286), each with its diff-vs-recon row
+                for pa_fwd in (pa_rep, jnp.asarray(cf_pa)):
+                    eff_loc, _ = ap(model.forward_latents, cf_z, pa_fwd, t=t)
+                    eff = _postprocess(eff_loc)
+                    rows.append(_row(eff))
+                    rows.append(
+                        _row((eff.astype(np.int16) - rec).astype(np.uint8))
+                    )
+        rows.append(np.zeros_like(orig))
 
     # tile rows into one image (utils.py:405-419)
     rows = [r if r.shape[0] == bs else np.concatenate(

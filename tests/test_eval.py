@@ -138,6 +138,29 @@ class TestViz:
 
         assert os.path.exists(path)
 
+    def test_partial_abduction_sweep(self, tmp_path):
+        """n_latents_viz>0 adds per-cut-level recon + cf panels
+        (reference utils.py:293-305, 394-398)."""
+        from causal_gen_tpu.models.hvae import HVAE
+        from causal_gen_tpu.train.vae_trainer import init_model_params
+        from causal_gen_tpu.utils.viz import write_images
+        from tests.test_train import tiny_cfg
+
+        cfg = tiny_cfg(bs=4)
+        model = HVAE(cfg=cfg)
+        params = init_model_params(cfg, model, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        batch = {
+            "x": rng.integers(0, 256, (4, 16, 16, 1)).astype(np.uint8),
+            "pa": rng.uniform(-1, 1, (4, 12)).astype(np.float32),
+        }
+        im0 = write_images(cfg, model, params, batch,
+                           str(tmp_path / "v0.png"), n_latents_viz=0)
+        im1 = write_images(cfg, model, params, batch,
+                           str(tmp_path / "v1.png"), n_latents_viz=1)
+        # one extra recon row + one extra full cf panel per extra cut level
+        assert im1.shape[0] > im0.shape[0]
+
 
 class TestCFEval:
     def test_eval_counterfactuals_morpho(self):

@@ -239,6 +239,50 @@ class TestCheckpoint:
         )
         assert all(jax.tree.leaves(same))
 
+    def test_async_writer_rotation_and_best(self, tmp_path):
+        """Async writer rotates beyond max_to_keep, never GCs the best
+        checkpoint, and keeps the 'checkpoint' symlink loadable."""
+        import os
+
+        from causal_gen_tpu.models.hvae import HVAE
+        from causal_gen_tpu.train.checkpoint import (
+            AsyncCheckpointWriter, load_checkpoint, state_payload,
+        )
+        from causal_gen_tpu.train.state import init_train_state
+        from causal_gen_tpu.train.vae_trainer import init_model_params
+
+        cfg = tiny_cfg()
+        model = HVAE(cfg=cfg)
+        params = init_model_params(cfg, model, jax.random.PRNGKey(0))
+        state = init_train_state(cfg, params)
+        w = AsyncCheckpointWriter(str(tmp_path), max_to_keep=2)
+        # best metric lands at step 2; later saves are worse
+        metrics = {1: 5.0, 2: 1.0, 3: 4.0, 4: 3.0, 5: 2.0}
+        for step, metric in metrics.items():
+            w.save(
+                state_payload(state),
+                {"config": cfg.to_dict(), "extra": {"epoch": step}},
+                step=step, metric=metric,
+            )
+        w.close()
+        kept = sorted(
+            d for d in os.listdir(tmp_path) if d.startswith("step_")
+            and not d.endswith(".meta.json")
+        )
+        # newest (step 5) + best (step 2); older ones GC'd
+        assert kept == ["step_0000000002", "step_0000000005"]
+        # the symlink tracks the best checkpoint and loads through the
+        # standard API (DSCM merge compatibility)
+        link = str(tmp_path / "checkpoint")
+        assert os.path.islink(link)
+        cfg2, state2, extra = load_checkpoint(link)
+        assert extra["epoch"] == 2
+        assert cfg2.enc_arch == cfg.enc_arch
+        same = jax.tree.map(
+            lambda a, b: bool(np.allclose(a, b)), state.params, state2.params
+        )
+        assert all(jax.tree.leaves(same))
+
 
 class TestParallel:
     def test_dp_tp_train_step_on_mesh(self):
