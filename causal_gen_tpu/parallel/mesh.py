@@ -49,6 +49,44 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, sh)
 
 
+def spatial_sharding(
+    mesh: Mesh,
+    batch_axis: str = "data",
+    space_axis: str = "space",
+) -> NamedSharding:
+    """NHWC sharding with batch over `data` and image height over `space`.
+
+    The reference has no sequence/context parallelism to port (no attention,
+    SURVEY.md §2); its long-context analog is image resolution (§5). This is
+    the TPU-native equivalent: shard conv activations spatially across the
+    mesh and let GSPMD insert the halo exchanges the 3x3 convs need at shard
+    boundaries. Useful from 192²+ inputs and for 3-D volumes, where a single
+    chip's HBM can't hold the encoder activations; the deep low-resolution
+    decoder stages (res < mesh size) are automatically gathered by XLA, which
+    is the right trade — all FLOPs live in the high-res stages.
+    """
+    return NamedSharding(mesh, P(batch_axis, space_axis))
+
+
+def shard_batch_spatial(
+    mesh: Mesh,
+    batch: Dict[str, Any],
+    batch_dim: int = 0,
+    batch_axis: str = "data",
+    space_axis: str = "space",
+) -> Dict[str, Any]:
+    """Shard a {'x': (..., B, H, W, C), 'pa': (..., B, ctx)} batch with x
+    split over (data, space) and parent vectors over data only."""
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "ndim") and v.ndim >= batch_dim + 3:  # has spatial dims
+            spec = [None] * batch_dim + [batch_axis, space_axis]
+            out[k] = jax.device_put(v, NamedSharding(mesh, P(*spec)))
+        else:
+            out[k] = jax.device_put(v, batch_sharding(mesh, batch_dim, batch_axis))
+    return out
+
+
 def param_partition_spec(path: Tuple, leaf, min_size_for_tp: int = 256) -> P:
     """Heuristic tensor-parallel spec: shard conv/dense kernels' output-channel
     dim over 'model' when wide enough to split evenly; replicate the rest.
