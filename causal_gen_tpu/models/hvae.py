@@ -237,10 +237,26 @@ class Decoder(nn.Module):
             if block.stochastic:
                 if acts is not None:  # z_i ~ q(z_i | z_<i, x, pa)
                     q_loc, q_logscale = block.forward_posterior(h, acts[res], pa, t=t)
-                    z = sample_gaussian(self.make_rng("sample"), q_loc, q_logscale)
-                    stat: Dict[str, Any] = dict(
-                        kl=gaussian_kl(q_loc, q_logscale, p_loc, p_logscale)
-                    )
+                    if cfg.use_pallas:
+                        # fused sample+KL in one VMEM pass (in-kernel TPU
+                        # PRNG: deterministic per-path, stream differs from
+                        # jax.random — see ops/pallas_kernels.py)
+                        from causal_gen_tpu.ops.pallas_kernels import (
+                            default_interpret, fused_sample_kl,
+                        )
+
+                        seed = jax.random.randint(
+                            self.make_rng("sample"), (), 0,
+                            jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+                        )
+                        z, kl = fused_sample_kl(
+                            seed, q_loc, q_logscale, p_loc, p_logscale,
+                            interpret=default_interpret(),
+                        )
+                    else:
+                        z = sample_gaussian(self.make_rng("sample"), q_loc, q_logscale)
+                        kl = gaussian_kl(q_loc, q_logscale, p_loc, p_logscale)
+                    stat: Dict[str, Any] = dict(kl=kl)
                     if abduct:
                         if block.cond_prior:  # z* needs q stats (vae.py:271-276)
                             stat["z"] = {"z": z, "q_loc": q_loc, "q_logscale": q_logscale}
@@ -288,7 +304,8 @@ class HVAE(nn.Module):
         )
         self.decoder = Decoder(cfg=cfg)
         self.likelihood = make_likelihood(
-            cfg.input_channels, cfg.model_widths[0], cfg.x_like, cfg.std_init
+            cfg.input_channels, cfg.model_widths[0], cfg.x_like, cfg.std_init,
+            use_pallas=cfg.use_pallas,
         )
         self.cond_prior = cfg.cond_prior
         self.free_bits = cfg.kl_free_bits

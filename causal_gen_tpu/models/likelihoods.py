@@ -178,6 +178,7 @@ class DmolNet(nn.Module):
     width: int
     num_mixtures: int = 10
     mask: str = "soft"
+    use_pallas: bool = False  # fused Pallas NLL + sampler (TPU)
 
     def setup(self):
         if self.input_channels != 3:
@@ -188,6 +189,12 @@ class DmolNet(nn.Module):
         return self.conv(h)  # already channels-last
 
     def nll(self, h: Array, x: Array) -> Array:
+        if self.use_pallas:
+            from causal_gen_tpu.ops.pallas_kernels import (
+                default_interpret, dmol_loss_pallas,
+            )
+
+            return dmol_loss_pallas(x, self.conv(h), False, default_interpret())
         return dmol_ops.discretized_mix_logistic_loss(x=x, l=self.conv(h))
 
     def sample(
@@ -198,6 +205,19 @@ class DmolNet(nn.Module):
             x, scale = dmol_ops.mean_discretized_mix_logistic(
                 l, self.num_mixtures, mask=self.mask
             )
+        elif self.use_pallas:
+            from causal_gen_tpu.ops.pallas_kernels import (
+                default_interpret, dmol_sample_pallas,
+            )
+
+            seed = jax.random.randint(
+                self.make_rng("sample"), (), 0, jnp.iinfo(jnp.int32).max,
+                dtype=jnp.int32,
+            )
+            x, scale = dmol_sample_pallas(
+                seed, l, self.num_mixtures, t=1.0 if t is None else t,
+                interpret=default_interpret(),
+            )
         else:
             key = self.make_rng("sample")
             x, scale = dmol_ops.sample_from_discretized_mix_logistic(
@@ -206,7 +226,8 @@ class DmolNet(nn.Module):
         return jnp.clip(x, -1.0, 1.0), scale
 
 
-def make_likelihood(input_channels: int, width: int, x_like: str, std_init: float):
+def make_likelihood(input_channels: int, width: int, x_like: str, std_init: float,
+                    use_pallas: bool = False):
     kind = x_like.split("_")[1]
     if kind == "dgauss":
         return DGaussNet(
@@ -217,5 +238,6 @@ def make_likelihood(input_channels: int, width: int, x_like: str, std_init: floa
             input_channels=input_channels, width=width, x_like=x_like, std_init=std_init
         )
     if kind == "dmol":
-        return DmolNet(input_channels=input_channels, width=width)
+        return DmolNet(input_channels=input_channels, width=width,
+                       use_pallas=use_pallas)
     raise NotImplementedError(f"{x_like} not implemented.")

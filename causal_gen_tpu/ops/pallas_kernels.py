@@ -29,6 +29,15 @@ LANES = 128
 TILE_ROWS = 256
 
 
+def default_interpret():
+    """Interpret mode for the current backend: Mosaic TPU interpreter on CPU
+    (the plain HLO interpreter lacks prng_seed/prng_random_bits), compiled
+    Mosaic on TPU. Hashable, so usable as a static pallas_call argument."""
+    if jax.default_backend() == "cpu":
+        return pltpu.InterpretParams()
+    return False
+
+
 def _pad_rows(x: Array, tile: int) -> Tuple[Array, int]:
     n = x.shape[0]
     pad = (-n) % tile
@@ -71,8 +80,21 @@ def fused_sample_kl(
 ) -> Tuple[Array, Array]:
     """z ~ N(q_loc, exp(q_logscale)), kl = KL(q||p), one fused VMEM pass.
 
-    Inputs of any common shape; ``seed`` int32 scalar array.
+    Inputs of any common shape; ``seed`` int32 scalar array. Differentiable:
+    a custom VJP implements the reparameterization gradient (eps recovered
+    from the saved sample) and the closed-form Gaussian-KL derivatives, so
+    the kernel can sit in the training path.
     """
+    return _fused_sample_kl_vjp(
+        jnp.atleast_1d(seed).astype(jnp.int32),
+        q_loc, q_logscale, p_loc, p_logscale, interpret,
+    )
+
+
+def _fused_sample_kl_impl(
+    seed: Array, q_loc: Array, q_logscale: Array, p_loc: Array, p_logscale: Array,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
     shape = q_loc.shape
     flat = lambda a: a.reshape(-1, shape[-1]) if a.ndim > 1 else a.reshape(1, -1)
     args = [flat(a.astype(jnp.float32)) for a in (q_loc, q_logscale, p_loc, p_logscale)]
@@ -99,6 +121,33 @@ def fused_sample_kl(
         interpret=interpret,
     )(jnp.atleast_1d(seed).astype(jnp.int32), *args)
     return z[:rows].reshape(shape), kl[:rows].reshape(shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _fused_sample_kl_vjp(seed, q_loc, q_logscale, p_loc, p_logscale, interpret):
+    return _fused_sample_kl_impl(seed, q_loc, q_logscale, p_loc, p_logscale, interpret)
+
+
+def _fskl_fwd(seed, q_loc, q_logscale, p_loc, p_logscale, interpret):
+    z, kl = _fused_sample_kl_impl(seed, q_loc, q_logscale, p_loc, p_logscale, interpret)
+    return (z, kl), (q_loc, q_logscale, p_loc, p_logscale, z)
+
+
+def _fskl_bwd(interpret, res, cts):
+    q_loc, q_logscale, p_loc, p_logscale, z = res
+    gz, gkl = cts
+    s_q2 = jnp.exp(q_logscale) ** 2
+    inv_p2 = jnp.exp(-p_logscale) ** 2
+    diff = q_loc - p_loc
+    # reparameterization: z = q_loc + exp(q_logscale)*eps with eps fixed
+    d_qloc = gz + gkl * diff * inv_p2
+    d_qlog = gz * (z - q_loc) + gkl * (s_q2 * inv_p2 - 1.0)
+    d_ploc = -gkl * diff * inv_p2
+    d_plog = gkl * (1.0 - (s_q2 + diff**2) * inv_p2)
+    return (jnp.zeros((1,), jnp.int32), d_qloc, d_qlog, d_ploc, d_plog)
+
+
+_fused_sample_kl_vjp.defvjp(_fskl_fwd, _fskl_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -221,3 +270,92 @@ def _dmol_bwd(low_bit, interpret, res, g):
 
 
 dmol_loss_pallas.defvjp(_dmol_fwd, _dmol_bwd)
+
+
+# ---------------------------------------------------------------------------
+# DMoL sampling (fused Gumbel-max mixture select + logistic inverse-CDF)
+# ---------------------------------------------------------------------------
+
+
+def _uniform_bits(shape, lo: float = 1e-5, hi: float = 1.0 - 1e-5):
+    """In-kernel uniforms in [lo, hi) from the TPU PRNG (24-bit mantissa path,
+    same int32 masking trick as _sample_kl_kernel)."""
+    b = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+    u01 = (b & jnp.int32(0x00FFFFFF)).astype(jnp.float32) * (1.0 / (1 << 24))
+    return lo + (hi - lo) * u01
+
+
+def _dmol_sample_kernel(seed_ref, l_ref, x_out, s_out, *, nr_mix: int,
+                        log_t: float):
+    """One VMEM pass: Gumbel-max over K mixture logits, per-channel
+    (mean, log_scale, coeff) selection, logistic inverse-CDF sample, and the
+    RGB autoregressive clip chain (reference dmol.py:121-161 semantics; RNG
+    is the in-kernel TPU PRNG, so the stream is deterministic-but-different
+    from jax.random — sameness is per-path, as for fused_sample_kl)."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    l = l_ref[:]
+    K = nr_mix
+    logits = l[:, :K]
+    # Gumbel-max mixture selection; ties are measure-zero but normalize the
+    # one-hot anyway so they cannot double-count
+    g = logits - jnp.log(-jnp.log(_uniform_bits(logits.shape)))
+    sel = (g >= jnp.max(g, axis=-1, keepdims=True)).astype(jnp.float32)
+    sel = sel / jnp.sum(sel, axis=-1, keepdims=True)
+
+    def ch(c, part):  # same layout as _dmol_kernel
+        base = K + 3 * K * c + K * part
+        return l[:, base : base + K]
+
+    def pick(c, part):
+        return jnp.sum(ch(c, part) * sel, axis=-1, keepdims=True)
+
+    xs = []
+    scales = []
+    for c in range(3):
+        mean = pick(c, 0)
+        log_scale = jnp.maximum(pick(c, 1), -7.0) + log_t
+        u = _uniform_bits(mean.shape)
+        xs.append(mean + jnp.exp(log_scale) * (jnp.log(u) - jnp.log(1.0 - u)))
+        scales.append(jnp.exp(log_scale))
+    # autoregressive clip chain (reference dmol.py:151-158)
+    c0 = jnp.tanh(pick(0, 2))
+    c1 = jnp.tanh(pick(1, 2))
+    c2 = jnp.tanh(pick(2, 2))
+    x0 = jnp.clip(xs[0], -1.0, 1.0)
+    x1 = jnp.clip(xs[1] + c0 * x0, -1.0, 1.0)
+    x2 = jnp.clip(xs[2] + c1 * x0 + c2 * x1, -1.0, 1.0)
+    x_out[:] = jnp.concatenate([x0, x1, x2], axis=-1)
+    s_out[:] = jnp.concatenate(scales, axis=-1)
+
+
+def dmol_sample_pallas(
+    seed: Array, l: Array, nr_mix: int, t: float = 1.0, interpret: bool = False
+) -> Tuple[Array, Array]:
+    """Fused DMoL sampler: (B,H,W,10K) logits -> ((B,H,W,3) sample in [-1,1],
+    (B,H,W,3) scale), one HBM round-trip. ``seed`` int32 scalar array; ``t``
+    static temperature (compile-time constant, as in the jnp op)."""
+    b, h, w, _ = l.shape
+    lf = l.reshape(-1, l.shape[-1]).astype(jnp.float32)
+    lf, rows = _pad_rows(lf, TILE_ROWS)
+    grid = (lf.shape[0] // TILE_ROWS,)
+    out_spec = pl.BlockSpec((TILE_ROWS, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    x, s = pl.pallas_call(
+        functools.partial(
+            _dmol_sample_kernel, nr_mix=nr_mix,
+            log_t=float(math.log(t if t is not None else 1.0)),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec(
+                (TILE_ROWS, lf.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((lf.shape[0], 3), jnp.float32),
+            jax.ShapeDtypeStruct((lf.shape[0], 3), jnp.float32),
+        ),
+        interpret=interpret,
+    )(jnp.atleast_1d(seed).astype(jnp.int32), lf)
+    return x[:rows].reshape(b, h, w, 3), s[:rows].reshape(b, h, w, 3)

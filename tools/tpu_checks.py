@@ -46,6 +46,28 @@ def main() -> None:
     err = float(jnp.abs(got - want).max())
     print(f"dmol: max_err={err:.2e}", flush=True)
     assert err < 1e-4
+
+    # DMoL sampler: same mixture params at every pixel -> compare sample
+    # statistics against the jnp sampler over many pixels
+    from causal_gen_tpu.ops.dmol import sample_from_discretized_mix_logistic
+    from causal_gen_tpu.ops.pallas_kernels import dmol_sample_pallas
+
+    l_one = rng.normal(0, 1, (100,)).astype(np.float32)
+    l_rep = jnp.asarray(np.tile(l_one, (4, 64, 64, 1)))
+    xs_p, sc_p = dmol_sample_pallas(jnp.int32(3), l_rep, 10, t=0.9)
+    xs_j, sc_j = sample_from_discretized_mix_logistic(
+        jax.random.PRNGKey(3), l_rep, 10, t=0.9
+    )
+    mp, mj = np.asarray(xs_p).mean(axis=(0, 1, 2)), np.asarray(xs_j).mean(axis=(0, 1, 2))
+    sp_, sj = np.asarray(xs_p).std(axis=(0, 1, 2)), np.asarray(xs_j).std(axis=(0, 1, 2))
+    print(f"dmol_sample: mean pallas={mp} jnp={mj}", flush=True)
+    print(f"dmol_sample: std  pallas={sp_} jnp={sj}", flush=True)
+    assert np.allclose(mp, mj, atol=0.02), (mp, mj)
+    assert np.allclose(sp_, sj, atol=0.02), (sp_, sj)
+    assert (np.asarray(sc_p) > 0).all()
+    # determinism per seed
+    xs_p2, _ = dmol_sample_pallas(jnp.int32(3), l_rep, 10, t=0.9)
+    assert np.array_equal(np.asarray(xs_p), np.asarray(xs_p2))
     print("TPU CHECKS OK", flush=True)
 
 
