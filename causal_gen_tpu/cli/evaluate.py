@@ -48,7 +48,15 @@ def main(argv: Optional[list] = None) -> None:
         vae_cfg = vae_cfg.replace(data_dir=args.data_dir)
     vae = SimpleVAE(cfg=vae_cfg) if vae_cfg.vae == "simple" else HVAE(cfg=vae_cfg)
 
-    datasets = setup_datasets(vae_cfg)
+    # load the PGM's full variable set; UKBB attrs in [-1,1] (the PGM parent
+    # space eval_cf_loop feeds straight into pgm.counterfactual — the
+    # reference notebook's dataloaders come from pgm/predictor args too)
+    data_cfg = vae_cfg
+    if getattr(pgm_cfg, "parents_x", ()):
+        data_cfg = data_cfg.replace(parents_x=tuple(pgm_cfg.parents_x))
+    if "ukbb" in vae_cfg.name:
+        data_cfg = data_cfg.replace(context_norm="[-1,1]")
+    datasets = setup_datasets(data_cfg)
     loader = Loader(
         datasets["test"], args.bs, shuffle=False, drop_last=False,
         concat_pa=False, max_batches=args.max_batches,

@@ -40,6 +40,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cond_prior", action="store_true", default=None)
     p.add_argument("--q_correction", action="store_true", default=None)
     p.add_argument("--kl_free_bits", type=float)
+    # architecture overrides (reference hps.py:180-205 exposes the arch DSL)
+    p.add_argument("--enc_arch", type=str)
+    p.add_argument("--dec_arch", type=str)
+    p.add_argument("--widths", nargs="+", type=int)
+    p.add_argument("--input_res", type=int)
+    p.add_argument("--pad", type=int)
+    p.add_argument("--z_dim", type=int)
+    p.add_argument("--bias_max_res", type=int)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"])
+    p.add_argument("--use_pallas", action="store_true", default=None)
     return p
 
 
@@ -60,7 +70,7 @@ def main(argv: Optional[list] = None) -> None:
 
     args, _ = build_parser().parse_known_args(argv)
     overrides = {
-        k: v
+        k: tuple(v) if isinstance(v, list) else v
         for k, v in vars(args).items()
         if v is not None
         and k not in ("hps", "resume", "save_dir", "exp_name", "max_batches")

@@ -50,18 +50,20 @@ def build_pgm_from_ckpt(path: str, setup_predictors: bool):
     from causal_gen_tpu.pgm.flow_pgm import PGM_REGISTRY
     from causal_gen_tpu.pgm.train_pgm import load_pgm_checkpoint
 
+    import dataclasses as dc
+
     cfg, state, extra = load_pgm_checkpoint(path)
     for prefix, cls in PGM_REGISTRY.items():
         if cfg.dataset.startswith(prefix):
             kw = dict(
+                widths=tuple(cfg.widths),
                 std_fixed=cfg.std_fixed,
                 setup_predictors=setup_predictors,
                 input_res=cfg.input_res,
                 input_channels=cfg.input_channels,
             )
-            if cls.__name__ != "ColourMNISTPGM":
-                kw["widths"] = tuple(cfg.widths)
-            return cfg, cls(**kw), state
+            fields = {f.name for f in dc.fields(cls)}
+            return cfg, cls(**{k: v for k, v in kw.items() if k in fields}), state
     raise KeyError(cfg.dataset)
 
 
@@ -142,7 +144,18 @@ def main(argv: Optional[list] = None) -> None:
     train_step = make_cf_train_step(cfg, dscm, frozen)
     eval_step = make_cf_eval_step(cfg, dscm, frozen)
 
-    datasets = setup_datasets(vae_cfg)
+    # data comes from the PGM's variable set, not the VAE's (the DAG may
+    # need attrs the VAE never sees, e.g. UKBB age; reference
+    # train_cf.py:425-427 builds the CF dataloaders from pgm_args). UKBB
+    # attrs load raw — preprocess_pgm_batch renormalizes to [-1,1] per batch
+    # (reference train_pgm.py:41-46), and the DSCM's ukbb_preprocess shim
+    # maps onward to the VAE's log-standard space.
+    data_cfg = vae_cfg
+    if pgm_cfg.parents_x:
+        data_cfg = data_cfg.replace(parents_x=tuple(pgm_cfg.parents_x))
+    if "ukbb" in vae_cfg.name:
+        data_cfg = data_cfg.replace(context_norm="raw")
+    datasets = setup_datasets(data_cfg)
     loaders = setup_loaders(datasets, cfg.bs, seed=cfg.seed, concat_pa=False, max_batches=args.max_batches)
     rng = jax.random.PRNGKey(cfg.seed)
     host_rng = np.random.default_rng(cfg.seed)

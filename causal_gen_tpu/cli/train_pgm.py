@@ -39,26 +39,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alpha", type=float, default=1e-3)
     p.add_argument("--std_fixed", type=float, default=0.0)
     p.add_argument("--sup_frac", type=float, default=1.0)
+    p.add_argument("--context_norm", default=None,
+                   help="dataset attr normalization; UKBB PGM training wants "
+                        "'raw' (preprocess renormalizes to [-1,1] itself, "
+                        "reference train_pgm.py:41-46)")
     return p
 
 
 def build_pgm(cfg):
+    import dataclasses as dc
+
     from causal_gen_tpu.pgm.flow_pgm import PGM_REGISTRY
 
     for prefix, cls in PGM_REGISTRY.items():
         if cfg.dataset.startswith(prefix):
-            return cls(
+            kwargs = dict(
                 widths=tuple(cfg.widths),
                 std_fixed=cfg.std_fixed,
                 setup_predictors=(cfg.setup != "sup_pgm"),
                 input_res=cfg.input_res,
                 input_channels=cfg.input_channels,
-            ) if cls.__name__ != "ColourMNISTPGM" else cls(
-                std_fixed=cfg.std_fixed,
-                setup_predictors=(cfg.setup != "sup_pgm"),
-                input_res=cfg.input_res,
-                input_channels=cfg.input_channels,
             )
+            fields = {f.name for f in dc.fields(cls)}
+            return cls(**{k: v for k, v in kwargs.items() if k in fields})
     raise KeyError(cfg.dataset)
 
 
@@ -99,10 +102,19 @@ def main(argv: Optional[list] = None) -> None:
     writer = MetricWriter(save_dir)
     writer.add_hparams(dataclasses.asdict(cfg))
 
+    data_overrides = {"data_dir": args.data_dir}
+    if args.parents_x:
+        # the PGM's DAG may need attrs beyond the VAE's parents_x (e.g. UKBB
+        # age); load the full variable set from the CSVs
+        data_overrides["parents_x"] = tuple(args.parents_x)
+    if args.context_norm:
+        data_overrides["context_norm"] = args.context_norm
+    if cfg.dataset not in ("morphomnist", "cmnist"):
+        data_overrides["input_res"] = args.input_res
     data_cfg = get_config(
         cfg.dataset if cfg.dataset in ("morphomnist", "cmnist") else
         ("ukbb64" if "ukbb" in cfg.dataset else "mimic192"),
-        data_dir=args.data_dir,
+        **data_overrides,
     )
     datasets = setup_datasets(data_cfg)
     loaders = setup_loaders(datasets, cfg.bs, seed=cfg.seed, concat_pa=False, max_batches=args.max_batches)

@@ -265,6 +265,10 @@ register(
     enc_arch="192b1d2,96b3d2,48b7d2,24b11d2,12b7d2,6b3d6,1b2",
     dec_arch="1b2,6b4,12b8,24b12,48b8,96b4,192b2",
     widths=(32, 64, 96, 128, 160, 192, 512),
+    # reference launch config (run_slurm.sh:44-45): age + race(one-hot 3) +
+    # sex + finding = context_dim 6; attrs are pre-normalized by the builder
+    parents_x=("age", "race", "sex", "finding"),
+    context_dim=6,
     dtype="bfloat16",  # see ukbb192 note
 )
 

@@ -176,6 +176,10 @@ def init_model_params(cfg: Config, model, rng: jax.Array, host_init: bool = True
             cpu = jax.devices("cpu")[0]
         except RuntimeError:
             cpu = None
+    if cpu is not None and cfg.use_pallas:
+        # Pallas can't lower (non-interpret) on the CPU used for host init;
+        # the kernels add no params, so init a pallas-free twin instead
+        model = type(model)(cfg=cfg.replace(use_pallas=False))
     ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
     with ctx:
         variables = model.init(

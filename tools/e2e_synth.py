@@ -1,0 +1,262 @@
+#!/usr/bin/env python
+"""Synthetic end-to-end drive of the full 3-stage workflow (HVAE -> PGM +
+predictors -> DSCM counterfactual fine-tuning -> effectiveness eval) for the
+UKBB and MIMIC dataset families.
+
+The real datasets are not distributable, so this builds directory trees
+mirroring the reference layouts (reference src/datasets.py:22-135, 392-531)
+with CAUSALLY STRUCTURED synthetic content — attributes sampled from a ground
+-truth SCM and images rendered as functions of those attributes — then drives
+the actual CLIs in-process, exactly as a user would.
+
+Usage (CPU, minutes):
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python tools/e2e_synth.py \
+      --dataset ukbb --root /tmp/e2e_ukbb
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Synthetic tree builders
+# ---------------------------------------------------------------------------
+
+
+def _save_png(path: str, arr: np.ndarray) -> None:
+    from PIL import Image
+
+    Image.fromarray(arr).save(path)
+
+
+def _disk(res: int, cx: float, cy: float, r: float) -> np.ndarray:
+    yy, xx = np.mgrid[0:res, 0:res].astype(np.float32)
+    return ((xx - cx) ** 2 + (yy - cy) ** 2 <= r**2).astype(np.float32)
+
+
+def make_ukbb_tree(root: str, n_per_split: int = 96, seed: int = 0) -> None:
+    """Brain-MRI-like tree: image = bright disk with radius ~ brain_volume
+    and a dark inner disk ~ ventricle_volume; T2 (mri_seq=1) is brighter.
+    SCM: sex,age exogenous; bvol = f(sex, age); vvol = f(bvol, age)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "brain_csv"), exist_ok=True)
+    os.makedirs(os.path.join(root, "thumbs_192x192"), exist_ok=True)
+    eid = 1000
+    for split in ["train", "valid", "test"]:
+        rows = []
+        for _ in range(n_per_split):
+            sex = float(rng.integers(0, 2))
+            mri_seq = float(rng.integers(0, 2))
+            age = float(rng.uniform(44, 73))
+            bvol = float(
+                np.clip(
+                    1.25e6 + 1.2e5 * sex - 4.5e3 * (age - 58)
+                    + rng.normal(0, 4e4), 9e5, 1.6e6,
+                )
+            )
+            vvol = float(
+                np.clip(
+                    3e4 + 0.04 * (bvol - 1.25e6) + 1.2e3 * (age - 58)
+                    + rng.normal(0, 6e3), 8e3, 1.55e5,
+                )
+            )
+            res = 192
+            r_b = 40 + 50 * (bvol - 9e5) / 7e5
+            r_v = 4 + 28 * (vvol - 8e3) / 1.47e5
+            img = _disk(res, 96, 96, r_b) * (140 + 60 * mri_seq)
+            img -= _disk(res, 96, 96, r_v) * (110 + 40 * mri_seq)
+            img += rng.normal(0, 6, (res, res))
+            name = (
+                f"{eid}_{'T1' if mri_seq == 0.0 else 'T2_FLAIR'}"
+                "_unbiased_brain_rigid_to_mni.png"
+            )
+            _save_png(
+                os.path.join(root, "thumbs_192x192", name),
+                np.clip(img, 0, 255).astype(np.uint8),
+            )
+            rows.append(dict(eid=eid, mri_seq=mri_seq, age=age,
+                             brain_volume=bvol, ventricle_volume=vvol, sex=sex))
+            eid += 1
+        pd.DataFrame(rows).to_csv(
+            os.path.join(root, "brain_csv", f"{split}.csv"), index=False
+        )
+
+
+def make_mimic_tree(root: str, n_per_split: int = 96, seed: int = 1) -> None:
+    """CXR-like tree: background brightness ~ age, a bright square marker if
+    finding=1, left-third shading by race, border stripe by sex."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "meta"), exist_ok=True)
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    i = 0
+    for split in ["train", "valid", "test"]:
+        rows = []
+        for _ in range(n_per_split):
+            sex = int(rng.integers(0, 2))
+            race = int(rng.integers(0, 3))
+            age = float(rng.uniform(20, 90))
+            # finding depends on age (reference ChestPGM: finding | age)
+            p_f = 1.0 / (1.0 + np.exp(-(age - 55) / 10))
+            finding = int(rng.uniform() < p_f)
+            res = 64
+            img = np.full((res, res), 60 + age, np.float32)
+            img[:, : res // 3] += 15 * race
+            if sex:
+                img[:4, :] += 40.0
+            if finding:
+                img[24:40, 24:40] += 70.0
+            img += rng.normal(0, 5, (res, res))
+            fname = f"img_{split}_{i}.png"
+            _save_png(os.path.join(root, "data", fname),
+                      np.clip(img, 0, 255).astype(np.uint8))
+            rows.append(dict(
+                path_preproc=fname,
+                disease="Pleural Effusion" if finding else "No Finding",
+                age=age, sex_label=sex, race_label=race,
+            ))
+            i += 1
+        pd.DataFrame(rows).to_csv(
+            os.path.join(root, "meta", f"{split}.csv"), index=False
+        )
+
+
+# ---------------------------------------------------------------------------
+# Stage drivers (in-process CLI mains)
+# ---------------------------------------------------------------------------
+
+TINY_ARCH = dict(
+    ukbb=[
+        "--input_res", "64",
+        "--enc_arch", "64b1d2,32b1d2,16b1d2,8b1d2,4b1d4,1b1",
+        "--dec_arch", "1b1,4b1,8b1,16b1,32b1,64b1",
+        "--widths", "8", "8", "16", "16", "24", "24",
+        "--z_dim", "4", "--bias_max_res", "64",
+    ],
+    mimic=[
+        "--input_res", "64",
+        "--enc_arch", "64b1d2,32b1d2,16b1d2,8b1d2,4b1d4,1b1",
+        "--dec_arch", "1b1,4b1,8b1,16b1,32b1,64b1",
+        "--widths", "8", "8", "16", "16", "24", "24",
+        "--z_dim", "4", "--bias_max_res", "64",
+    ],
+)
+
+PGM_VARS = dict(
+    ukbb=["mri_seq", "age", "brain_volume", "ventricle_volume", "sex"],
+    mimic=["age", "race", "sex", "finding"],
+)
+
+
+def run(dataset: str, root: str, out: str, epochs: int, bs: int,
+        stages: str = "1234") -> None:
+    from causal_gen_tpu.cli import evaluate as eval_cli
+    from causal_gen_tpu.cli import main as vae_cli
+    from causal_gen_tpu.cli import train_cf as cf_cli
+    from causal_gen_tpu.cli import train_pgm as pgm_cli
+
+    hps = "ukbb64" if dataset == "ukbb" else "mimic192"
+    vae_dir = os.path.join(out, "vae")
+    pgm_dir = os.path.join(out, "pgm")
+    aux_dir = os.path.join(out, "aux")
+    cf_dir = os.path.join(out, "cf")
+
+    if "1" in stages:
+        print(f"== stage 1: HVAE ({hps}, tiny arch) ==", flush=True)
+        _stage1(vae_cli, hps, root, vae_dir, epochs, bs, dataset)
+    if "2" in stages:
+        _stage2(pgm_cli, dataset, root, pgm_dir, aux_dir, epochs, bs)
+    if "3" in stages:
+        _stage3(cf_cli, dataset, root, pgm_dir, aux_dir, vae_dir, cf_dir, bs)
+    if "4" in stages:
+        _stage4(eval_cli, dataset, root, pgm_dir, aux_dir, vae_dir, bs)
+    print(json.dumps({"e2e": dataset, "status": "ok", "out": out}))
+
+
+def _stage1(vae_cli, hps, root, vae_dir, epochs, bs, dataset):
+    vae_cli.main([
+        "--hps", hps, "--data_dir", root, "--save_dir", vae_dir,
+        "--epochs", str(epochs), "--eval_freq", "1", "--bs", str(bs),
+        "--beta", "1.0", "--dtype", "float32", "--viz_freq", "0",
+        *TINY_ARCH[dataset],
+    ])
+
+
+def _pgm_common(dataset, root, epochs, bs):
+    common = [
+        "--dataset", dataset, "--data_dir", root, "--bs", str(bs),
+        "--input_res", "64", "--epochs", str(4 * epochs), "--lr", "5e-3",
+        "--parents_x", *PGM_VARS[dataset],
+    ]
+    if dataset == "ukbb":
+        common += ["--context_norm", "raw"]
+    return common
+
+
+def _stage2(pgm_cli, dataset, root, pgm_dir, aux_dir, epochs, bs):
+    common = _pgm_common(dataset, root, epochs, bs)
+    print("== stage 2a: PGM (sup_pgm) ==", flush=True)
+    pgm_cli.main(["--setup", "sup_pgm", "--save_dir", pgm_dir, *common])
+    print("== stage 2b: predictors (sup_aux) ==", flush=True)
+    pgm_cli.main(["--setup", "sup_aux", "--save_dir", aux_dir, *common])
+
+
+def _stage3(cf_cli, dataset, root, pgm_dir, aux_dir, vae_dir, cf_dir, bs):
+    print("== stage 3: DSCM counterfactual fine-tuning ==", flush=True)
+    do_pa = "brain_volume" if dataset == "ukbb" else "finding"
+    cf_cli.main([
+        "--pgm_path", os.path.join(pgm_dir, "checkpoint"),
+        "--predictor_path", os.path.join(aux_dir, "checkpoint"),
+        "--vae_path", os.path.join(vae_dir, "checkpoint"),
+        "--data_dir", root, "--save_dir", cf_dir,
+        "--epochs", "1", "--bs", str(min(bs, 16)), "--max_batches", "3",
+        "--do_pa", do_pa, "--eval_freq", "1",
+    ])
+
+
+def _stage4(eval_cli, dataset, root, pgm_dir, aux_dir, vae_dir, bs):
+    print("== stage 4: counterfactual effectiveness eval ==", flush=True)
+    eval_cli.main([
+        "--pgm_path", os.path.join(pgm_dir, "checkpoint"),
+        "--predictor_path", os.path.join(aux_dir, "checkpoint"),
+        "--vae_path", os.path.join(vae_dir, "checkpoint"),
+        "--data_dir", root, "--bs", str(bs), "--max_batches", "2",
+        "--seeds", "0", "1", "--no_measure",
+    ])
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", choices=["ukbb", "mimic"], required=True)
+    p.add_argument("--root", default="")
+    p.add_argument("--out", default="")
+    p.add_argument("--n", type=int, default=96)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--bs", type=int, default=32)
+    p.add_argument("--stages", default="1234",
+                   help="subset of stages to run, e.g. '34' to reuse "
+                        "existing stage-1/2 checkpoints")
+    args = p.parse_args()
+    root = args.root or f"/tmp/synth_{args.dataset}"
+    out = args.out or f"/tmp/e2e_{args.dataset}"
+    if not os.path.exists(root):
+        print(f"building synthetic {args.dataset} tree at {root}", flush=True)
+        (make_ukbb_tree if args.dataset == "ukbb" else make_mimic_tree)(
+            root, n_per_split=args.n
+        )
+    run(args.dataset, root, out, args.epochs, args.bs, stages=args.stages)
+
+
+if __name__ == "__main__":
+    main()
