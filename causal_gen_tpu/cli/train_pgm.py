@@ -168,6 +168,9 @@ def run_semi_sup(cfg, model, datasets, args, save_dir):
         ema_params=_jax.tree.map(jnp.copy, params),
         opt_state=make_pgm_optimizer(cfg).init(params),
     )
+    import logging
+
+    logger = logging.getLogger("causal_gen_tpu")
     step = make_semi_sup_train_step(cfg, model, n_labelled=len(ds_l))
     history = {}
     for epoch in range(1, cfg.epochs + 1):
@@ -175,6 +178,7 @@ def run_semi_sup(cfg, model, datasets, args, save_dir):
             cfg, model, state, loader_l, loader_u, step, rng, epoch
         )
         history = {f"train_{k}": v for k, v in stats.items()}
+        logger.info("ss epoch %d | %s", epoch, stats)
         if save_dir and epoch % cfg.eval_freq == 0:
             import os
 
