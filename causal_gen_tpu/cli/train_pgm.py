@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alpha", type=float, default=1e-3)
     p.add_argument("--std_fixed", type=float, default=0.0)
     p.add_argument("--sup_frac", type=float, default=1.0)
+    p.add_argument("--corrupt_p", type=float, default=0.0,
+                   help="cmnist train-label corruption fraction "
+                        "(reference datasets.py:325)")
     p.add_argument("--context_norm", default=None,
                    help="dataset attr normalization; UKBB PGM training wants "
                         "'raw' (preprocess renormalizes to [-1,1] itself, "
@@ -109,6 +112,8 @@ def main(argv: Optional[list] = None) -> None:
         data_overrides["parents_x"] = tuple(args.parents_x)
     if args.context_norm:
         data_overrides["context_norm"] = args.context_norm
+    if args.corrupt_p:
+        data_overrides["corrupt_p"] = args.corrupt_p
     if cfg.dataset not in ("morphomnist", "cmnist"):
         data_overrides["input_res"] = args.input_res
     data_cfg = get_config(
