@@ -124,3 +124,46 @@ class TestMIMICBuilder:
         assert set(np.unique(b["finding"])) <= {0.0, 1.0}
         b2 = dsets["train"].batch(np.arange(4))
         assert b2["pa"].shape == (4, 6)  # 1 + 3 + 1 + 1
+
+
+@pytest.fixture
+def cmnist_tree(tmp_path):
+    rng = np.random.default_rng(2)
+    root = tmp_path / "cmnist"
+    n = 40
+    for split in ["train", "test"]:
+        sub = root / split
+        sub.mkdir(parents=True)
+        np.save(sub / "images.npy",
+                rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8))
+        np.save(sub / "parents.npy", np.array(
+            {"digit": rng.integers(0, 10, n), "colour": rng.integers(0, 10, n)},
+            dtype=object,
+        ))
+    return str(root)
+
+
+class TestCmnistCorruption:
+    def test_corrupt_p_flips_train_labels_only(self, cmnist_tree):
+        """corrupt_p flips exactly that fraction of train digit AND colour
+        labels to a DIFFERENT class; eval splits stay clean (reference
+        datasets.py:325-343)."""
+        from causal_gen_tpu.data.datasets import cmnist
+
+        cfg = get_config("cmnist", input_res=32)
+        clean = cmnist(cfg, data_dir=cmnist_tree, corrupt_p=0.0)
+        noisy = cmnist(cfg, data_dir=cmnist_tree, corrupt_p=0.5)
+        d0 = np.argmax(clean["train"].attrs["digit"], -1)
+        d1 = np.argmax(noisy["train"].attrs["digit"], -1)
+        c0 = np.argmax(clean["train"].attrs["colour"], -1)
+        c1 = np.argmax(noisy["train"].attrs["colour"], -1)
+        n = len(d0)
+        assert (d0 != d1).sum() == n // 2  # exactly the fraction, never same
+        assert (c0 != c1).sum() == n // 2
+        # deterministic given the seed
+        again = cmnist(cfg, data_dir=cmnist_tree, corrupt_p=0.5)
+        assert np.array_equal(noisy["train"].attrs["digit"],
+                              again["train"].attrs["digit"])
+        # test split untouched
+        assert np.array_equal(clean["test"].attrs["digit"],
+                              noisy["test"].attrs["digit"])
