@@ -177,6 +177,39 @@ def main(argv: Optional[list] = None) -> None:
                 )
                 logger.info("valid do(%s) | %s | %s", pa_k, ev, metrics)
                 writer.add_scalars(metrics, epoch, prefix=f"valid_do_{pa_k}/")
+            # counterfactual panel from one valid batch: obs / cf / direct
+            # effect / uncertainty (reference utils_pgm.py:93-286, written
+            # every eval at train_cf.py:487-497)
+            try:
+                from causal_gen_tpu.pgm.train_cf import (
+                    preprocess_pgm_batch, random_intervention,
+                )
+                from causal_gen_tpu.utils.plots import plot_cf
+
+                raw = next(iter(loaders["valid"]))
+                vbatch = preprocess_pgm_batch(pgm_cfg, raw)
+                vdo = random_intervention(
+                    np.random.default_rng(epoch), dag_vars, vbatch, cfg.do_pa
+                )
+                _, _, vcfs = eval_step(
+                    state.ema_trainable, vbatch, vdo,
+                    jax.random.fold_in(rng, 10**6 + epoch),
+                )
+                var = None
+                if cfg.cf_particles > 1:
+                    out = dscm.forward(
+                        state.ema_trainable, frozen, vbatch, vdo,
+                        jax.random.fold_in(rng, 10**6 + epoch),
+                        cf_particles=cfg.cf_particles, beta=cfg.beta,
+                    )
+                    var = out.get("var_cf_x")
+                plot_cf(
+                    np.asarray(vbatch["x"]), np.asarray(vcfs["x"]),
+                    None if var is None else np.asarray(var),
+                    save_path=os.path.join(save_dir, f"cf_panel_{epoch}.png"),
+                )
+            except Exception as e:  # viz must never kill training
+                logger.warning("cf panel failed: %s", e)
             import dataclasses
 
             ckpt_writer.save(

@@ -134,6 +134,24 @@ def main(argv: Optional[list] = None) -> None:
         metrics = pgm_eval_metrics(cfg, model, state.ema_params, loaders["valid"])
         logger.info("eval metrics: %s", metrics)
         writer.add_scalars(metrics, cfg.epochs, prefix="eval/")
+    if cfg.setup == "sup_pgm" and cfg.dataset == "morphomnist":
+        # joint plot of sampled vs data morphometrics
+        # (reference train_pgm.py:502-504; utils_pgm.py:58-90)
+        from causal_gen_tpu.utils.plots import plot_joint
+
+        samples = model.apply(
+            {"params": state.ema_params}, 512, method=model.sample,
+            rngs={"sample": jax.random.PRNGKey(cfg.seed)},
+        )
+        plot_joint(
+            np.asarray(samples["thickness"]), np.asarray(samples["intensity"]),
+            "pgm samples", save_path=os.path.join(save_dir, "joint_samples.png"),
+        )
+        dt = datasets["train"]
+        plot_joint(
+            dt.attrs["thickness"], dt.attrs["intensity"], "data",
+            save_path=os.path.join(save_dir, "joint_data.png"),
+        )
 
 
 def run_semi_sup(cfg, model, datasets, args, save_dir):
