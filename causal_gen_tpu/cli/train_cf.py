@@ -83,7 +83,6 @@ def main(argv: Optional[list] = None) -> None:
         make_cf_eval_step,
         make_cf_train_step,
     )
-    from causal_gen_tpu.pgm.train_pgm import PGMConfig
     from causal_gen_tpu.train.checkpoint import (
         AsyncCheckpointWriter,
         load_checkpoint,

@@ -159,7 +159,6 @@ def run_semi_sup(cfg, model, datasets, args, save_dir):
     (reference train_pgm.py:287-306, 430-470)."""
     import jax as _jax
     import jax.numpy as jnp
-    import numpy as _np
 
     from causal_gen_tpu.data.loader import Loader
     from causal_gen_tpu.pgm.train_pgm import (

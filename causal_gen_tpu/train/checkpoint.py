@@ -17,7 +17,6 @@ import shutil
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from causal_gen_tpu.config import Config

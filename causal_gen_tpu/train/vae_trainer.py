@@ -19,9 +19,7 @@ checkpointing). TPU-native redesign:
 
 from __future__ import annotations
 
-import json
 import logging
-import os
 import time
 from typing import Any, Dict, Optional, Tuple
 
