@@ -52,8 +52,11 @@ def main() -> None:
         make_global_batch,
     )
 
-    # 1. one jax.distributed.initialize per process (no-op single-process)
-    if args.coordinator or os.environ.get("TPU_WORKER_HOSTNAMES"):
+    # 1. one jax.distributed.initialize per process. Explicit flags only:
+    # Cloud TPU auto-detection happens inside initialize() when called with
+    # no args, but single-host runs (and test harnesses with a live backend)
+    # must not call it at all.
+    if args.coordinator or args.num_processes:
         initialize_multihost(args.coordinator, args.num_processes, args.process_id)
 
     import jax

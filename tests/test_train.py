@@ -318,6 +318,18 @@ class TestParallel:
             m_dp = step(state, sharded, jax.random.PRNGKey(3))[1]
         assert np.isclose(float(m_single["elbo"]), float(m_dp["elbo"]), rtol=1e-5)
 
+    def test_multihost_recipe_smoke(self, monkeypatch):
+        """examples/multihost_train.py --smoke: per-host shard loading +
+        global-batch assembly + sharded step on the 8-device mesh
+        (single-process degenerate case of the pod-slice launch)."""
+        import importlib
+        import sys
+
+        sys.path.insert(0, "examples")
+        mod = importlib.import_module("multihost_train")
+        monkeypatch.setattr(sys, "argv", ["multihost_train.py", "--smoke"])
+        mod.main()
+
     def test_spatial_sharding_matches_single_device(self):
         """Conv activations sharded over a 'space' mesh axis (the long-context
         analog, SURVEY.md §5): GSPMD inserts the 3x3-conv halo exchanges and
