@@ -32,6 +32,9 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--pgm_path", required=True)
     p.add_argument("--predictor_path", required=True)
     p.add_argument("--vae_path", required=True)
+    p.add_argument("--cf_path", default="",
+                   help="optional CF fine-tuning checkpoint; evaluates its "
+                        "EMA fine-tuned VAE weights instead of the raw VAE's")
     p.add_argument("--data_dir", default="")
     p.add_argument("--bs", type=int, default=64)
     p.add_argument("--do_pa", default=None)
@@ -39,6 +42,10 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--no_measure", action="store_true",
                    help="skip morphometric re-measurement")
+    p.add_argument("--te_cf", action="store_true",
+                   help="cond_prior total-effect path: abduct the latent "
+                        "mediator via the alpha-mixture (vae.py:480-514)")
+    p.add_argument("--abduct_alpha", type=float, default=0.65)
     args, _ = p.parse_known_args(argv)
 
     pgm_cfg, pgm, pgm_state = build_pgm_from_ckpt(args.pgm_path, False)
@@ -47,6 +54,17 @@ def main(argv: Optional[list] = None) -> None:
     if args.data_dir:
         vae_cfg = vae_cfg.replace(data_dir=args.data_dir)
     vae = SimpleVAE(cfg=vae_cfg) if vae_cfg.vae == "simple" else HVAE(cfg=vae_cfg)
+
+    vae_params = vae_state.ema_params
+    if args.cf_path:
+        # post-CF protocol: the fine-tuned VAE lives in the CF checkpoint's
+        # EMA trainable tree {"vae": params, "lmbda": ...}
+        from causal_gen_tpu.pgm.train_cf import load_cf_checkpoint
+
+        _, cf_state, cf_extra = load_cf_checkpoint(args.cf_path)
+        vae_params = cf_state.ema_trainable["vae"]
+        print(f"evaluating CF fine-tuned VAE from {args.cf_path} "
+              f"(epoch {cf_extra.get('epoch')})")
 
     # load the PGM's full variable set; UKBB attrs in [-1,1] (the PGM parent
     # space eval_cf_loop feeds straight into pgm.counterfactual — the
@@ -65,10 +83,10 @@ def main(argv: Optional[list] = None) -> None:
         k: np.asarray(v) for k, v in datasets["train"].attrs.items()
     }
     results = eval_cf_loop(
-        vae_cfg, vae, vae_state.ema_params, pgm, pgm_state.ema_params,
+        vae_cfg, vae, vae_params, pgm, pgm_state.ema_params,
         predictor, pred_state.ema_params, loader, train_attrs,
         seeds=tuple(args.seeds), do_pa=args.do_pa,
-        measure=not args.no_measure,
+        measure=not args.no_measure, te_cf=args.te_cf, alpha=args.abduct_alpha,
     )
     print(json.dumps(
         {k: {"mean": v[0], "std": v[1]} for k, v in results.items()}, indent=2
