@@ -133,6 +133,42 @@ class AsyncCheckpointWriter:
         self._ckptr.close()
 
 
+def repair_link(directory: str, link_name: str = "checkpoint") -> Optional[str]:
+    """Re-point the best-checkpoint symlink after an abrupt kill.
+
+    The async writer refreshes the link only on the NEXT save/wait, so a
+    crash can leave it one save behind. This reads index.json, drops entries
+    whose orbax commit marker is missing (incomplete writes), picks the best
+    metric (falling back to newest), and atomically re-points the link.
+    Returns the repaired target or None if nothing usable exists."""
+    directory = os.path.abspath(directory)
+    idx = os.path.join(directory, "index.json")
+    if not os.path.exists(idx):
+        return None
+    with open(idx) as f:
+        entries = json.load(f).get("entries", [])
+    complete = [
+        e for e in entries
+        if os.path.isdir(e["path"]) and os.path.exists(e["path"] + ".meta.json")
+        and any(
+            os.path.exists(os.path.join(e["path"], m))
+            for m in ("_CHECKPOINT_METADATA", "commit_success.txt", "manifest.ocdbt")
+        )
+    ]
+    if not complete:
+        return None
+    scored = [e for e in complete if e.get("metric") is not None]
+    best = min(scored, key=lambda e: e["metric"]) if scored else complete[-1]
+    link = os.path.join(directory, link_name)
+    for suffix in ("", ".meta.json"):
+        tmp = link + suffix + ".tmp"
+        if os.path.lexists(tmp):
+            os.remove(tmp)
+        os.symlink(best["path"] + suffix, tmp)
+        os.replace(tmp, link + suffix)
+    return best["path"]
+
+
 def state_payload(state: TrainState) -> Dict[str, Any]:
     """TrainState -> host-side checkpoint payload dict."""
     return {

@@ -283,6 +283,19 @@ class TestCheckpoint:
         )
         assert all(jax.tree.leaves(same))
 
+        # crash recovery: force the link onto a stale target (the writer
+        # refreshes it only on the NEXT save, so an abrupt kill leaves it one
+        # save behind) and repair from index.json
+        from causal_gen_tpu.train.checkpoint import repair_link
+
+        stale = str(tmp_path / "step_0000000005")
+        os.remove(link)
+        os.symlink(stale, link)
+        target = repair_link(str(tmp_path))
+        assert target.endswith("step_0000000002")  # best metric wins
+        _, _, extra = load_checkpoint(link)
+        assert extra["epoch"] == 2
+
 
 class TestParallel:
     def test_dp_tp_train_step_on_mesh(self):
