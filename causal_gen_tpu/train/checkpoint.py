@@ -88,11 +88,13 @@ class AsyncCheckpointWriter:
         if best is None:
             return
         link = os.path.join(self.directory, self.link_name)
+        # relative target: checkpoints stay loadable from clones/moves
+        target = os.path.basename(best["path"])
         for suffix in ("", ".meta.json"):
             tmp = link + suffix + ".tmp"
             if os.path.lexists(tmp):
                 os.remove(tmp)
-            os.symlink(best["path"] + suffix, tmp)
+            os.symlink(target + suffix, tmp)
             os.replace(tmp, link + suffix)
 
     # -- API ----------------------------------------------------------------
@@ -160,11 +162,12 @@ def repair_link(directory: str, link_name: str = "checkpoint") -> Optional[str]:
     scored = [e for e in complete if e.get("metric") is not None]
     best = min(scored, key=lambda e: e["metric"]) if scored else complete[-1]
     link = os.path.join(directory, link_name)
+    target = os.path.basename(best["path"])
     for suffix in ("", ".meta.json"):
         tmp = link + suffix + ".tmp"
         if os.path.lexists(tmp):
             os.remove(tmp)
-        os.symlink(best["path"] + suffix, tmp)
+        os.symlink(target + suffix, tmp)
         os.replace(tmp, link + suffix)
     return best["path"]
 

@@ -9,9 +9,9 @@ uncertainty panel.
 
 Usage:
   python examples/counterfactual_demo.py \
-      --pgm_path checkpoints/real_pgm/checkpoint \
-      --predictor_path checkpoints/real_aux/checkpoint \
-      --vae_path checkpoints/real_morpho/checkpoint \
+      --pgm_path checkpoints/long_pgm/checkpoint \
+      --predictor_path checkpoints/long_aux/checkpoint \
+      --vae_path checkpoints/final_morpho2/checkpoint \
       --data_dir /root/reference/datasets/morphomnist \
       --do thickness=0.8 --out cf_panel.png
 """
