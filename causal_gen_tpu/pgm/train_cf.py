@@ -48,6 +48,11 @@ class CFConfig:
     lr: float = 1e-4
     lr_lagrange: float = 1e-2
     ema_rate: float = 0.999
+    # NOTE faithful reference quirk: --alpha is documented as "aux loss
+    # multiplier" but only scales the LOGGED aux_loss (train_cf.py:207,270);
+    # the optimized Lagrangian (dscm.py:85-88) never sees it, so it does not
+    # change training. The effective knobs on the predictor-vs-fidelity
+    # tradeoff are epochs (early stopping) and elbo_constraint (eps).
     alpha: float = 1.0  # aux loss stat multiplier
     lmbda_init: float = 0.0
     damping: float = 100.0
