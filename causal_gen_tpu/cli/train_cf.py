@@ -216,6 +216,15 @@ def main(argv: Optional[list] = None) -> None:
                 {"config": dataclasses.asdict(cfg), "extra": {"epoch": epoch}},
                 step=int(jax.device_get(state.step)),
             )
+    if cfg.epochs % cfg.eval_freq != 0:
+        # short runs with sparse eval cadence still persist a final state
+        import dataclasses
+
+        ckpt_writer.save(
+            cf_state_payload(state),
+            {"config": dataclasses.asdict(cfg), "extra": {"epoch": cfg.epochs}},
+            step=int(jax.device_get(state.step)),
+        )
     ckpt_writer.close()
 
 
