@@ -104,6 +104,12 @@ def main(argv: Optional[list] = None) -> None:
     logger = setup_logging(save_dir)
     writer = MetricWriter(save_dir)
     writer.add_hparams(cfg.to_dict())
+    # train/valid multiline groups (reference train_setup.py:103-115)
+    writer.add_layout({
+        "nelbo": ["train_elbo", "valid_elbo"],
+        "nll": ["train_nll", "valid_nll"],
+        "kl": ["train_kl", "valid_kl"],
+    })
     logger.info("devices: %s", jax.devices())
 
     datasets = setup_datasets(cfg)

@@ -104,6 +104,7 @@ def main(argv: Optional[list] = None) -> None:
     logger = setup_logging(save_dir)
     writer = MetricWriter(save_dir)
     writer.add_hparams(dataclasses.asdict(cfg))
+    writer.add_layout({"loss": ["train_loss", "valid_loss"]})
 
     data_overrides = {"data_dir": args.data_dir}
     if args.parents_x:

@@ -81,6 +81,31 @@ class MetricWriter:
         if self.save_dir:
             with open(os.path.join(self.save_dir, "hparams.json"), "w") as f:
                 json.dump(hparams, f, indent=2, default=str)
+        if self._tb:
+            # TB hparams comparison table (reference train_setup.py:85-95):
+            # flatten non-scalar values to strings so the plugin accepts them
+            flat = {
+                k: (v if isinstance(v, (int, float, bool, str)) else str(v))
+                for k, v in hparams.items()
+            }
+            try:
+                self._tb.add_hparams(
+                    flat, {"hparams": 0},
+                    run_name=os.path.abspath(self.save_dir),
+                )
+            except Exception:
+                pass
+
+    def add_layout(self, groups: Dict[str, list]) -> None:
+        """TB custom-scalars multiline layout, e.g. {'nelbo': ['nelbo/train',
+        'nelbo/valid']} (reference train_setup.py:97-115)."""
+        if self._tb:
+            try:
+                self._tb.add_custom_scalars({
+                    g: {g: ["Multiline", tags]} for g, tags in groups.items()
+                })
+            except Exception:
+                pass
 
     def close(self) -> None:
         if self._jsonl:

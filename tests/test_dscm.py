@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy jit compiles; quick pass: -m 'not slow'
+
 from causal_gen_tpu.config import get_config
 from causal_gen_tpu.data.datasets import ArrayDataset, one_hot_np
 from causal_gen_tpu.data.loader import Loader

@@ -17,6 +17,8 @@ from jax.experimental.pallas import tpu as pltpu
 from causal_gen_tpu.ops.distributions import gaussian_kl
 from causal_gen_tpu.ops.dmol import discretized_mix_logistic_loss
 
+pytestmark = pytest.mark.slow  # heavy jit compiles; quick pass: -m 'not slow'
+
 
 class TestFusedSampleKL:
     def test_kl_matches_reference(self):

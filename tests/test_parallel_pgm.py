@@ -3,9 +3,12 @@ the TPU-native substitute for a fake distributed backend (SURVEY.md §4d)."""
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from causal_gen_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+pytestmark = pytest.mark.slow  # heavy jit compiles; quick pass: -m 'not slow'
 
 
 class TestPGMDataParallel:

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy jit compiles; quick pass: -m 'not slow'
+
 from causal_gen_tpu.pgm.flow_pgm import ChestPGM, ColourMNISTPGM, FlowPGM
 
 

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy jit compiles; quick pass: -m 'not slow'
+
 from causal_gen_tpu.config import get_config
 from causal_gen_tpu.utils.ema import ema_decay, ema_update
 from causal_gen_tpu.utils.schedules import beta_anneal, linear_warmup
