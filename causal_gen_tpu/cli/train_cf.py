@@ -9,6 +9,7 @@ train with dual optimizers, periodic per-parent valid sweeps.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 from typing import Optional
 
@@ -43,6 +44,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="eps; defaults to the stored best valid ELBO of the "
                         "VAE checkpoint (reference hard-codes the UKBB train "
                         "ELBO 1.8412..., train_cf.py:409)")
+    p.add_argument("--thickness_weight", type=float, default=0.0,
+                   help="differentiable measured-thickness penalty weight "
+                        "(ops/soft_morph.py; Morpho-MNIST only)")
+    p.add_argument("--intensity_weight", type=float, default=0.0,
+                   help="differentiable measured-intensity penalty weight")
+    p.add_argument("--calib_n", type=int, default=512,
+                   help="train images used to fit the soft-thickness "
+                        "calibration")
     return p
 
 
@@ -116,6 +125,8 @@ def main(argv: Optional[list] = None) -> None:
         beta=vae_cfg.beta, grad_clip=vae_cfg.grad_clip,
         grad_skip=vae_cfg.grad_skip, wd=vae_cfg.wd, betas=vae_cfg.betas,
         elbo_constraint=eps,
+        thickness_weight=args.thickness_weight,
+        intensity_weight=args.intensity_weight,
     )
     save_dir = args.save_dir or os.path.join(
         "checkpoints", f"cf_{pgm_cfg.dataset}", args.exp_name or "default"
@@ -127,21 +138,17 @@ def main(argv: Optional[list] = None) -> None:
     # serialization off the train thread matters here
     ckpt_writer = AsyncCheckpointWriter(save_dir)
 
-    dscm = DSCM(
-        cfg=vae_cfg, pgm=pgm, predictor=predictor, vae=vae,
-        elbo_constraint=eps, lmbda_init=cfg.lmbda_init, damping=cfg.damping,
-    )
     frozen = {"pgm": pgm_state.ema_params, "predictor": pred_state.ema_params}
-    state = init_cf_state(cfg, dscm, vae_state.ema_params)
+    state = None
     start_epoch = 1
     if args.resume and os.path.exists(args.resume + ".meta.json"):
-        # resume with both optimizer states (reference train_cf.py:460-471)
+        # resume with both optimizer states (reference train_cf.py:460-471);
+        # the checkpoint's config is authoritative (incl. morph weights +
+        # stored thickness calibration)
         cfg, state, extra = load_cf_checkpoint(args.resume)
         start_epoch = int(extra.get("epoch", 0)) + 1
         logger = setup_logging(save_dir)
         logger.info("resumed from %s at epoch %d", args.resume, start_epoch)
-    train_step = make_cf_train_step(cfg, dscm, frozen)
-    eval_step = make_cf_eval_step(cfg, dscm, frozen)
 
     # data comes from the PGM's variable set, not the VAE's (the DAG may
     # need attrs the VAE never sees, e.g. UKBB age; reference
@@ -156,6 +163,30 @@ def main(argv: Optional[list] = None) -> None:
         data_cfg = data_cfg.replace(context_norm="raw")
     datasets = setup_datasets(data_cfg)
     loaders = setup_loaders(datasets, cfg.bs, seed=cfg.seed, concat_pa=False, max_batches=args.max_batches)
+
+    if cfg.thickness_weight > 0 and cfg.thickness_calib == (1.0, 0.0):
+        # fit the soft-thickness affine calibration on real train images
+        # (host, once; stored in the CF checkpoint config for resume)
+        from causal_gen_tpu.ops.soft_morph import calibrate_soft_thickness
+
+        imgs = datasets["train"].images[: args.calib_n]
+        x01 = np.asarray(imgs, np.float32)[..., 0] / 255.0
+        calib, fit_mae = calibrate_soft_thickness(x01)
+        cfg = dataclasses.replace(cfg, thickness_calib=calib)
+        logger.info("soft-thickness calib a=%.4f b=%.4f (fit MAE %.3f px)",
+                    calib[0], calib[1], fit_mae)
+
+    dscm = DSCM(
+        cfg=vae_cfg, pgm=pgm, predictor=predictor, vae=vae,
+        elbo_constraint=cfg.elbo_constraint, lmbda_init=cfg.lmbda_init,
+        damping=cfg.damping, thickness_weight=cfg.thickness_weight,
+        intensity_weight=cfg.intensity_weight,
+        thickness_calib=tuple(cfg.thickness_calib),
+    )
+    if state is None:
+        state = init_cf_state(cfg, dscm, vae_state.ema_params)
+    train_step = make_cf_train_step(cfg, dscm, frozen)
+    eval_step = make_cf_eval_step(cfg, dscm, frozen)
     rng = jax.random.PRNGKey(cfg.seed)
     host_rng = np.random.default_rng(cfg.seed)
     dag_vars = tuple(pgm.dag_variables.keys())
@@ -209,8 +240,6 @@ def main(argv: Optional[list] = None) -> None:
                 )
             except Exception as e:  # viz must never kill training
                 logger.warning("cf panel failed: %s", e)
-            import dataclasses
-
             ckpt_writer.save(
                 cf_state_payload(state),
                 {"config": dataclasses.asdict(cfg), "extra": {"epoch": epoch}},
@@ -218,8 +247,6 @@ def main(argv: Optional[list] = None) -> None:
             )
     if cfg.epochs % cfg.eval_freq != 0:
         # short runs with sparse eval cadence still persist a final state
-        import dataclasses
-
         ckpt_writer.save(
             cf_state_payload(state),
             {"config": dataclasses.asdict(cfg), "extra": {"epoch": cfg.epochs}},

@@ -25,7 +25,7 @@ Semantics preserved:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +88,13 @@ class DSCM:
     elbo_constraint: float = 0.0  # eps (train_cf.py:409)
     lmbda_init: float = 0.0
     damping: float = 100.0
+    # differentiable measured-morphometry penalty (ops/soft_morph.py; no
+    # reference counterpart — addresses the measured-thickness regression
+    # the predictor-only objective causes). Active on Morpho-MNIST when
+    # the weights are > 0.
+    thickness_weight: float = 0.0
+    intensity_weight: float = 0.0
+    thickness_calib: Tuple[float, float] = (1.0, 0.0)
 
     def init_trainable(self, vae_params: Any) -> Dict[str, Any]:
         return {
@@ -187,8 +194,34 @@ class DSCM:
         damp = self.damping * sg
         loss = aux_loss - jnp.sum((lmbda - damp) * constraint)
 
+        morph_loss = jnp.zeros(())
+        if self.thickness_weight > 0 and "thickness" in cf_pa:
+            from causal_gen_tpu.ops.soft_morph import soft_thickness
+            from causal_gen_tpu.utils.normalization import MORPHOMNIST_MIN_MAX
+
+            lo, hi = MORPHOMNIST_MIN_MAX["thickness"]
+            tgt = (cf_pa["thickness"].reshape(bs) + 1) / 2 * (hi - lo) + lo
+            est = soft_thickness(
+                (cf_x_mean[..., 0] + 1.0) / 2.0, calib=self.thickness_calib
+            )
+            morph_loss = morph_loss + self.thickness_weight * jnp.abs(
+                est - jax.lax.stop_gradient(tgt)
+            ).mean()
+        if self.intensity_weight > 0 and "intensity" in cf_pa:
+            from causal_gen_tpu.ops.soft_morph import soft_intensity
+            from causal_gen_tpu.utils.normalization import MORPHOMNIST_MIN_MAX
+
+            lo, hi = MORPHOMNIST_MIN_MAX["intensity"]
+            tgt = (cf_pa["intensity"].reshape(bs) + 1) / 2 * (hi - lo) + lo
+            est = soft_intensity((cf_x_mean[..., 0] + 1.0) * 127.5)
+            morph_loss = morph_loss + self.intensity_weight * jnp.abs(
+                est - jax.lax.stop_gradient(tgt)
+            ).mean()
+        loss = loss + morph_loss
+
         out = dict(vae_out)
         out.update(
-            {"loss": loss, "aux_loss": aux_loss, "cfs": cfs, "var_cf_x": var_cf_x}
+            {"loss": loss, "aux_loss": aux_loss, "cfs": cfs,
+             "var_cf_x": var_cf_x, "morph_loss": morph_loss}
         )
         return out

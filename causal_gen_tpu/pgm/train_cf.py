@@ -66,6 +66,12 @@ class CFConfig:
     wd: float = 0.01
     betas: Tuple[float, float] = (0.9, 0.9)
     elbo_constraint: float = 0.0
+    # differentiable measured-morphometry penalty weights + host-fitted
+    # thickness calibration (ops/soft_morph.py; TPU-native extension, no
+    # reference counterpart)
+    thickness_weight: float = 0.0
+    intensity_weight: float = 0.0
+    thickness_calib: Tuple[float, float] = (1.0, 0.0)
 
 
 @flax.struct.dataclass
@@ -163,6 +169,7 @@ def make_cf_train_step(cfg: CFConfig, dscm: DSCM, frozen: Dict[str, Any],
             "elbo": out["elbo"],
             "nll": out["nll"],
             "kl": out["kl"],
+            "morph_loss": out["morph_loss"],
             "lmbda": state.trainable["lmbda"][0],
             "grad_norm": grad_norm,
             "skipped": (~ok).astype(jnp.float32),
@@ -198,7 +205,7 @@ def make_cf_eval_step(cfg: CFConfig, dscm: DSCM, frozen: Dict[str, Any]):
             method=dscm.predictor.predict, rngs={"sample": rng}, **cf_pa,
         )
         return (
-            {k: out[k] for k in ("loss", "aux_loss", "elbo", "nll", "kl")},
+            {k: out[k] for k in ("loss", "aux_loss", "elbo", "nll", "kl", "morph_loss")},
             preds,
             cfs,
         )
@@ -366,7 +373,7 @@ def cf_eval_epoch(
         k: np.asarray(loaders["train"].ds.attrs[k]) for k in dag_vars
     }
     host_rng = np.random.default_rng(cfg.seed + 1)
-    stats = {k: 0.0 for k in ["loss", "aux_loss", "elbo", "nll", "kl"]}
+    stats = {k: 0.0 for k in ["loss", "aux_loss", "elbo", "nll", "kl", "morph_loss"]}
     preds: Dict[str, list] = {k: [] for k in dag_vars}
     targets: Dict[str, list] = {k: [] for k in dag_vars}
     n = 0
@@ -411,7 +418,7 @@ def cf_train_epoch(
     host_rng: np.random.Generator,
 ) -> Tuple[CFTrainState, Dict[str, float]]:
     dag_vars = tuple(dscm.pgm.dag_variables.keys())
-    stats = {k: 0.0 for k in ["loss", "aux_loss", "elbo", "nll", "kl"]}
+    stats = {k: 0.0 for k in ["loss", "aux_loss", "elbo", "nll", "kl", "morph_loss"]}
     n = 0
     for i, raw in enumerate(loader):
         batch = preprocess_pgm_batch(pgm_cfg, raw)
