@@ -128,6 +128,13 @@ class Config:
     dtype: str = "float32"  # activations dtype for conv stacks
     use_pallas: bool = False  # fuse hot elementwise chains with Pallas kernels
     remat: bool = False  # rematerialize conv blocks (memory <-> FLOPs trade)
+    # lax.scan over runs of same-shaped decoder blocks: one traced/compiled
+    # body per run instead of a full Python unroll, cutting big-config
+    # compile times; param layout changes (stacked leading axis) — see
+    # models/hvae.py::migrate_decoder_params for old-checkpoint migration.
+    # With remat=True the scan body is the rematerialization unit
+    # (stage-level jax.checkpoint).
+    stage_scan: bool = False
     # round every conv width up to a multiple of this (0 = off). TPU lanes are
     # 128-wide; narrow channel dims underfill the MXU. Changes model capacity,
     # so it is OFF for parity configs and opt-in for perf variants.

@@ -126,6 +126,128 @@ class DecoderBlock(nn.Module):
         raise NotImplementedError
 
 
+def plan_decoder_blocks(cfg: Config) -> List[Tuple[int, int]]:
+    """Flattened per-block (res, width) list of the decoder."""
+    stages: List[Tuple[int, int]] = []
+    rev_widths = tuple(reversed(cfg.model_widths))
+    for i, st in enumerate(cfg.dec_stages):
+        stages += [(st.res, rev_widths[i]) for _ in range(st.n_blocks)]
+    return stages
+
+
+def plan_decoder_layout(cfg: Config) -> List[Tuple]:
+    """Group the decoder's block list into scan runs of same-shaped blocks.
+
+    Returns layout elements ("single", i) | ("run", start, length). A block
+    joins a run when it has no resolution boundary on entry (no upsample /
+    bias add) and in_width == out_width, so every iteration of the scanned
+    body is shape-identical. Boundary blocks stay unrolled under their
+    original ``blocks_i`` parameter names. Runs of length 1 degrade to
+    singles (a scan of one step only costs compile-time bookkeeping).
+    """
+    stages = plan_decoder_blocks(cfg)
+    n = len(stages)
+    uniform = []
+    for i, (res, width) in enumerate(stages):
+        next_width = stages[min(n - 1, i + 1)][1]
+        uniform.append(
+            i > 0 and stages[i - 1][0] == res and next_width == width
+        )
+    layout: List[Tuple] = []
+    i = 0
+    while i < n:
+        if not uniform[i]:
+            layout.append(("single", i))
+            i += 1
+            continue
+        j = i
+        while j < n and uniform[j]:
+            j += 1
+        if j - i >= 2:
+            layout.append(("run", i, j - i))
+        else:
+            layout.append(("single", i))
+        i = j
+    return layout
+
+
+class DecoderRunCell(nn.Module):
+    """One iteration of a scanned run of same-shaped decoder blocks.
+
+    nn.scan stacks this cell's params on a leading axis (one slice per
+    block) and splits the "sample" RNG stream per iteration. With
+    cfg.remat the cell is the rematerialization unit: activations are
+    stored only at run boundaries (stage-level jax.checkpoint — the
+    memory knob for 192^2+ configs).
+    """
+
+    width: int
+    resolution: int
+    z_dim: int
+    context_dim: int
+    bottleneck_factor: int
+    stochastic: bool
+    cond_prior: bool
+    q_correction: bool
+    version: Optional[str]
+    n_blocks: int
+    dtype: Optional[Any] = None
+
+    def setup(self):
+        self.block = DecoderBlock(
+            in_width=self.width,
+            out_width=self.width,
+            resolution=self.resolution,
+            z_dim=self.z_dim,
+            context_dim=self.context_dim,
+            bottleneck_factor=self.bottleneck_factor,
+            stochastic=self.stochastic,
+            cond_prior=self.cond_prior,
+            q_correction=self.q_correction,
+            version=self.version,
+            n_blocks=self.n_blocks,
+            dtype=self.dtype,
+            name="block",
+        )
+
+    def __call__(self, carry, latent, lat_mask, pa_sto, pa, act, t, abduct):
+        h, z = carry
+        block = self.block
+        p_input = h if self.q_correction else z
+        p_loc, p_logscale, p_feat = block.forward_prior(p_input, pa_sto, t=t)
+        stat: Dict[str, Any] = {}
+        if self.stochastic:
+            if act is not None:  # posterior mode (acts given)
+                q_loc, q_logscale = block.forward_posterior(h, act, pa, t=t)
+                z_s = sample_gaussian(self.make_rng("sample"), q_loc, q_logscale)
+                stat["kl"] = gaussian_kl(q_loc, q_logscale, p_loc, p_logscale)
+                if abduct:
+                    if self.cond_prior:
+                        stat["z"] = {"z": z_s, "q_loc": q_loc,
+                                     "q_logscale": q_logscale}
+                    else:
+                        stat["z"] = z_s
+            else:  # generate mode: given latent (masked) or prior sample
+                z_p = sample_gaussian(self.make_rng("sample"), p_loc, p_logscale)
+                z_s = jnp.where(lat_mask > 0.5, latent, z_p)
+                if abduct and self.cond_prior:
+                    stat["z"] = {"p_loc": p_loc, "p_logscale": p_logscale}
+        else:
+            z_s = p_loc
+        h = h + p_feat
+        h = h + block.z_proj(
+            jnp.concatenate([z_s, _bcast_pa(pa, self.resolution)], axis=-1)
+        )
+        h = block.conv(h)
+        z_out = z_s
+        if not self.q_correction:
+            # z independent of pa for the next prior (vae.py:297-300); on the
+            # model's final block this is dead compute the unrolled path
+            # skips, but uniformity is what makes the run scannable
+            z_out = block.z_feat_proj(jnp.concatenate([z_s, p_feat], axis=-1))
+        return (h, z_out), stat
+
+
 class Decoder(nn.Module):
     """Top-down decoder (reference vae.py:195-319)."""
 
@@ -133,32 +255,70 @@ class Decoder(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        stages: List[Tuple[int, int]] = []  # (res, width) flattened per block
-        rev_widths = tuple(reversed(cfg.model_widths))
-        for i, st in enumerate(cfg.dec_stages):
-            stages += [(st.res, rev_widths[i]) for _ in range(st.n_blocks)]
+        stages = plan_decoder_blocks(cfg)
         n = len(stages)
-        blocks = []
-        for i, (res, width) in enumerate(stages):
-            next_width = stages[min(n - 1, i + 1)][1]
-            blocks.append(
-                DecoderBlock(
-                    in_width=width,
-                    out_width=next_width,
-                    resolution=res,
-                    z_dim=cfg.z_dim,
-                    context_dim=cfg.context_dim,
-                    bottleneck_factor=cfg.bottleneck,
-                    stochastic=res <= cfg.z_max_res,
-                    cond_prior=cfg.cond_prior,
-                    q_correction=cfg.q_correction,
-                    version=cfg.block_version,
-                    n_blocks=n,
-                    dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else None,
-                    remat=cfg.remat,
-                )
+        rev_widths = tuple(reversed(cfg.model_widths))
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+
+        def make_block(i: int, name: Optional[str] = None) -> DecoderBlock:
+            res, width = stages[i]
+            return DecoderBlock(
+                in_width=width,
+                out_width=stages[min(n - 1, i + 1)][1],
+                resolution=res,
+                z_dim=cfg.z_dim,
+                context_dim=cfg.context_dim,
+                bottleneck_factor=cfg.bottleneck,
+                stochastic=res <= cfg.z_max_res,
+                cond_prior=cfg.cond_prior,
+                q_correction=cfg.q_correction,
+                version=cfg.block_version,
+                n_blocks=n,
+                dtype=dtype,
+                remat=cfg.remat and not cfg.stage_scan,
+                name=name,
             )
-        self.blocks = blocks
+
+        if cfg.stage_scan:
+            self._layout = tuple(plan_decoder_layout(cfg))
+            mods = []
+            for elem in self._layout:
+                if elem[0] == "single":
+                    mods.append(make_block(elem[1], name=f"blocks_{elem[1]}"))
+                else:
+                    start, length = elem[1], elem[2]
+                    res, width = stages[start]
+                    Cell = DecoderRunCell
+                    if cfg.remat:
+                        # t/abduct are static python values (indices count
+                        # self as arg 0 under flax's remat wrapping)
+                        Cell = nn.remat(Cell, static_argnums=(7, 8))
+                    ScanRun = nn.scan(
+                        Cell,
+                        variable_axes={"params": 0},
+                        split_rngs={"params": True, "sample": True},
+                        in_axes=(0, 0, nn.broadcast, nn.broadcast,
+                                 nn.broadcast, nn.broadcast, nn.broadcast),
+                        length=length,
+                    )
+                    mods.append(ScanRun(
+                        width=width,
+                        resolution=res,
+                        z_dim=cfg.z_dim,
+                        context_dim=cfg.context_dim,
+                        bottleneck_factor=cfg.bottleneck,
+                        stochastic=res <= cfg.z_max_res,
+                        cond_prior=cfg.cond_prior,
+                        q_correction=cfg.q_correction,
+                        version=cfg.block_version,
+                        n_blocks=n,
+                        dtype=dtype,
+                        name=f"run_{start}",
+                    ))
+            self.elems = mods
+        else:
+            self._layout = tuple(("single", i) for i in range(n))
+            self.blocks = [make_block(i) for i in range(n)]
         self._stages = tuple(stages)
         # per-resolution learned biases (reference vae.py:211-218)
         all_res = sorted(set(r for r, _ in stages))
@@ -183,6 +343,90 @@ class Decoder(nn.Module):
         p_det = jnp.where(opt == 1, 0.0, 1.0)
         return p_sto, p_det
 
+    def _single_step(
+        self,
+        block: DecoderBlock,
+        i: int,
+        h: Array,
+        z: Array,
+        pa: Array,
+        pa_sto: Array,
+        acts: Optional[Dict[int, Array]],
+        latent: Optional[Array],
+        t: Optional[float],
+        abduct: bool,
+        stats: List[Dict[str, Any]],
+    ) -> Tuple[Array, Array]:
+        """One unrolled decoder block (reference vae.py:241-300)."""
+        cfg = self.cfg
+        res = block.resolution
+
+        if h.shape[1] < res:  # upsample previous layer output
+            b = self._bias_at(res)
+            up = upsample_nearest(h, res)
+            h = up if b is None else b + up
+
+        if block.q_correction:
+            p_input = h
+        else:  # prior depends on previous prior latent only
+            if z.shape[1] < res:
+                b = self._bias_at(res)
+                up = upsample_nearest(z, res)
+                p_input = up if b is None else b + up
+            else:
+                p_input = z
+        p_loc, p_logscale, p_feat = block.forward_prior(p_input, pa_sto, t=t)
+
+        if block.stochastic:
+            if acts is not None:  # z_i ~ q(z_i | z_<i, x, pa)
+                q_loc, q_logscale = block.forward_posterior(h, acts[res], pa, t=t)
+                if cfg.use_pallas:
+                    # fused sample+KL in one VMEM pass (in-kernel TPU
+                    # PRNG: deterministic per-path, stream differs from
+                    # jax.random — see ops/pallas_kernels.py)
+                    from causal_gen_tpu.ops.pallas_kernels import (
+                        default_interpret, fused_sample_kl,
+                    )
+
+                    seed = jax.random.randint(
+                        self.make_rng("sample"), (), 0,
+                        jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+                    )
+                    z, kl = fused_sample_kl(
+                        seed, q_loc, q_logscale, p_loc, p_logscale,
+                        interpret=default_interpret(),
+                    )
+                else:
+                    z = sample_gaussian(self.make_rng("sample"), q_loc, q_logscale)
+                    kl = gaussian_kl(q_loc, q_logscale, p_loc, p_logscale)
+                stat: Dict[str, Any] = dict(kl=kl)
+                if abduct:
+                    if block.cond_prior:  # z* needs q stats (vae.py:271-276)
+                        stat["z"] = {"z": z, "q_loc": q_loc, "q_logscale": q_logscale}
+                    else:
+                        stat["z"] = z
+                stats.append(stat)
+            else:
+                if latent is not None:
+                    z = latent
+                else:
+                    z = sample_gaussian(self.make_rng("sample"), p_loc, p_logscale)
+                    if abduct and block.cond_prior:  # record p for abducting z*
+                        stats.append(
+                            dict(z={"p_loc": p_loc, "p_logscale": p_logscale})
+                        )
+        else:  # deterministic block
+            z = p_loc
+
+        h = h + p_feat
+        h = h + block.z_proj(jnp.concatenate([z, _bcast_pa(pa, res)], axis=-1))
+        h = block.conv(h)
+
+        if not block.q_correction and (i + 1) < len(self._stages):
+            # z independent of pa for the next prior (vae.py:297-300)
+            z = block.z_feat_proj(jnp.concatenate([z, p_feat], axis=-1))
+        return h, z
+
     def __call__(
         self,
         parents: Array,  # (B, context_dim)
@@ -194,6 +438,7 @@ class Decoder(nn.Module):
     ) -> Tuple[Array, List[Dict[str, Any]]]:
         cfg = self.cfg
         bs = parents.shape[0]
+        n = len(self._stages)
         h = z = jnp.tile(self._bias_at(1), (bs, 1, 1, 1))
         if train and cfg.cond_prior:
             p_sto, p_det = self._drop_cond()
@@ -201,89 +446,80 @@ class Decoder(nn.Module):
             p_sto, p_det = 1.0, 1.0
 
         if latents is None:
-            latents = [None] * len(self.blocks)
+            latents = [None] * n
         else:
-            latents = list(latents) + [None] * (len(self.blocks) - len(latents))
+            latents = list(latents) + [None] * (n - len(latents))
 
+        pa = parents  # (B, ctx); spatially constant so no per-res slicing
+        if cfg.cond_drop_from is not None:
+            d = cfg.cond_drop_from
+            pa_sto = pa.at[:, d:].multiply(p_sto)
+            pa_det = pa.at[:, d:].multiply(p_det)
+        else:
+            pa_sto = pa_det = pa
+        del pa_det  # parity note: reference computes but never uses pa_det
+        # in the HVAE path (vae.py:245-249); posterior uses raw pa.
+
+        mods = self.elems if cfg.stage_scan else self.blocks
         stats: List[Dict[str, Any]] = []
-        for i, block in enumerate(self.blocks):
-            res = block.resolution
-            pa = parents  # (B, ctx); spatially constant so no per-res slicing
-            if cfg.cond_drop_from is not None:
-                d = cfg.cond_drop_from
-                pa_sto = pa.at[:, d:].multiply(p_sto)
-                pa_det = pa.at[:, d:].multiply(p_det)
+        for elem, mod in zip(self._layout, mods):
+            if elem[0] == "single":
+                i = elem[1]
+                h, z = self._single_step(
+                    mod, i, h, z, pa, pa_sto, acts, latents[i], t, abduct, stats
+                )
+                continue
+            # scanned run: shape-uniform blocks, no res/width boundary inside
+            start, length = elem[1], elem[2]
+            res, width = self._stages[start]
+            run_lats = latents[start: start + length]
+            if acts is not None or all(lat is None for lat in run_lats):
+                # latents unused (posterior mode) or absent: dummy xs only
+                lat_stack = jnp.zeros((length, 1, 1, 1, 1), jnp.float32)
+                lat_mask = jnp.zeros((length,), jnp.float32)
             else:
-                pa_sto = pa_det = pa
-            del pa_det  # parity note: reference computes but never uses pa_det
-            # in the HVAE path (vae.py:245-249); posterior uses raw pa.
-
-            if h.shape[1] < res:  # upsample previous layer output
-                b = self._bias_at(res)
-                up = upsample_nearest(h, res)
-                h = up if b is None else b + up
-
-            if block.q_correction:
-                p_input = h
-            else:  # prior depends on previous prior latent only
-                if z.shape[1] < res:
-                    b = self._bias_at(res)
-                    up = upsample_nearest(z, res)
-                    p_input = up if b is None else b + up
-                else:
-                    p_input = z
-            p_loc, p_logscale, p_feat = block.forward_prior(p_input, pa_sto, t=t)
-
-            if block.stochastic:
-                if acts is not None:  # z_i ~ q(z_i | z_<i, x, pa)
-                    q_loc, q_logscale = block.forward_posterior(h, acts[res], pa, t=t)
-                    if cfg.use_pallas:
-                        # fused sample+KL in one VMEM pass (in-kernel TPU
-                        # PRNG: deterministic per-path, stream differs from
-                        # jax.random — see ops/pallas_kernels.py)
-                        from causal_gen_tpu.ops.pallas_kernels import (
-                            default_interpret, fused_sample_kl,
-                        )
-
-                        seed = jax.random.randint(
-                            self.make_rng("sample"), (), 0,
-                            jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
-                        )
-                        z, kl = fused_sample_kl(
-                            seed, q_loc, q_logscale, p_loc, p_logscale,
-                            interpret=default_interpret(),
-                        )
-                    else:
-                        z = sample_gaussian(self.make_rng("sample"), q_loc, q_logscale)
-                        kl = gaussian_kl(q_loc, q_logscale, p_loc, p_logscale)
-                    stat: Dict[str, Any] = dict(kl=kl)
-                    if abduct:
-                        if block.cond_prior:  # z* needs q stats (vae.py:271-276)
-                            stat["z"] = {"z": z, "q_loc": q_loc, "q_logscale": q_logscale}
-                        else:
-                            stat["z"] = z
-                    stats.append(stat)
-                else:
-                    z_given = latents[i]
-                    if z_given is not None:
-                        z = z_given
-                    else:
-                        z = sample_gaussian(self.make_rng("sample"), p_loc, p_logscale)
-                        if abduct and block.cond_prior:  # record p for abducting z*
-                            stats.append(
-                                dict(z={"p_loc": p_loc, "p_logscale": p_logscale})
-                            )
-            else:  # deterministic block
-                z = p_loc
-
-            h = h + p_feat
-            h = h + block.z_proj(jnp.concatenate([z, _bcast_pa(pa, res)], axis=-1))
-            h = block.conv(h)
-
-            if not block.q_correction and (i + 1) < len(self.blocks):
-                # z independent of pa for the next prior (vae.py:297-300)
-                z = block.z_feat_proj(jnp.concatenate([z, p_feat], axis=-1))
+                lat_stack = jnp.stack([
+                    lat if lat is not None
+                    else jnp.zeros((bs, res, res, cfg.z_dim), jnp.float32)
+                    for lat in run_lats
+                ])
+                lat_mask = jnp.asarray(
+                    [0.0 if lat is None else 1.0 for lat in run_lats],
+                    jnp.float32,
+                )
+            act = None if acts is None else acts[res]
+            (h, z), ys = mod(
+                (h, z), lat_stack, lat_mask, pa_sto, pa, act, t, abduct
+            )
+            if ys:
+                stats.extend(
+                    jax.tree.map(lambda v: v[j], ys) for j in range(length)
+                )
         return h, stats
+
+
+def migrate_decoder_params(cfg: Config, params: Dict[str, Any]) -> Dict[str, Any]:
+    """Restack an unrolled-decoder checkpoint for ``stage_scan=True``.
+
+    The scan layout stores each run's per-block params stacked on a leading
+    axis under ``decoder/run_<start>/block``; boundary blocks keep their
+    original ``decoder/blocks_<i>`` names. The inverse direction (scan ->
+    unrolled) is ``unstack``ing the same trees; old checkpoints
+    (checkpoints/final_*) load unchanged because stage_scan defaults off.
+    """
+    layout = plan_decoder_layout(cfg)
+    dec = dict(params["decoder"])
+    for elem in layout:
+        if elem[0] != "run":
+            continue
+        start, length = elem[1], elem[2]
+        members = [dec.pop(f"blocks_{start + j}") for j in range(length)]
+        dec[f"run_{start}"] = {
+            "block": jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+        }
+    out = dict(params)
+    out["decoder"] = dec
+    return out
 
 
 class HVAE(nn.Module):
