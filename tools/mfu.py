@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""MFU / step-breakdown report for a training config on the attached chip.
+
+Reports ms/step (best + median over windows, pool-freeze tolerant), analytic
+FLOPs/step from XLA's cost analysis, and model FLOPs utilization against the
+chip's peak (v5e: 197 TFLOP/s bf16, 98.5 TFLOP/s f32 on the MXU).
+
+Usage:
+  python tools/mfu.py --hps ukbb192 --bs 96 [--beta 5 --z_max_res 96]
+  python tools/mfu.py --hps morphomnist --bs 256 [--stage_scan] [--remat]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+V5E_PEAK_FLOPS = {"bfloat16": 197e12, "float32": 98.5e12}
+
+
+def main() -> None:
+    from causal_gen_tpu.config import get_config
+    from causal_gen_tpu.models.hvae import HVAE
+    from causal_gen_tpu.train.state import init_train_state
+    from causal_gen_tpu.train.vae_trainer import init_model_params, make_train_step
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--hps", default="morphomnist")
+    p.add_argument("--bs", type=int, default=32)
+    p.add_argument("--beta", type=float, default=None)
+    p.add_argument("--z_max_res", type=int, default=None)
+    p.add_argument("--stage_scan", action="store_true")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--dtype", default=None)
+    p.add_argument("--windows", type=int, default=12)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--trace_dir", default="",
+                   help="also capture a jax profiler trace here")
+    args = p.parse_args()
+
+    kw = dict(bs=args.bs, accu_steps=1)
+    for k in ("beta", "z_max_res", "dtype"):
+        v = getattr(args, k)
+        if v is not None:
+            kw[k] = v
+    if args.stage_scan:
+        kw["stage_scan"] = True
+    if args.remat:
+        kw["remat"] = True
+    if args.use_pallas:
+        kw["use_pallas"] = True
+    cfg = get_config(args.hps, **kw)
+
+    model = HVAE(cfg=cfg)
+    rng = jax.random.PRNGKey(0)
+    params = init_model_params(cfg, model, rng)
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    state = init_train_state(cfg, params)
+    step = make_train_step(cfg, model, donate=False)
+
+    x = np.random.randint(
+        0, 256, (1, cfg.bs, cfg.input_res, cfg.input_res, cfg.input_channels),
+        np.uint8,
+    )
+    pa = np.random.uniform(-1, 1, (1, cfg.bs, cfg.context_dim)).astype(np.float32)
+    batch = {"x": jnp.asarray(x), "pa": jnp.asarray(pa)}
+
+    t0 = time.perf_counter()
+    lowered = step.lower(state, batch, rng)
+    compiled = lowered.compile()
+    compile_s = time.perf_counter() - t0
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, list) else cost
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+
+    # warmup
+    new_state, m = compiled(state, batch, rng)
+    jax.block_until_ready(m)
+
+    dts = []
+    k = 1
+    for _ in range(args.windows):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            new_state, m = compiled(new_state, batch, jax.random.fold_in(rng, k))
+            k += 1
+        jax.block_until_ready(m)
+        dts.append((time.perf_counter() - t0) / args.iters)
+
+    if args.trace_dir:
+        with jax.profiler.trace(args.trace_dir):
+            for _ in range(3):
+                new_state, m = compiled(new_state, batch, jax.random.fold_in(rng, k))
+                k += 1
+            jax.block_until_ready(m)
+
+    best, med = min(dts), float(np.median(dts))
+    peak = V5E_PEAK_FLOPS.get(cfg.dtype, V5E_PEAK_FLOPS["float32"])
+    report = {
+        "hps": args.hps,
+        "bs": cfg.bs,
+        "dtype": cfg.dtype,
+        "stage_scan": cfg.stage_scan,
+        "remat": cfg.remat,
+        "use_pallas": cfg.use_pallas,
+        "params_m": round(n_params / 1e6, 2),
+        "compile_s": round(compile_s, 1),
+        "ms_per_step_best": round(best * 1e3, 2),
+        "ms_per_step_median": round(med * 1e3, 2),
+        "img_per_sec_best": round(cfg.bs / best, 1),
+        "flops_per_step_g": round(flops / 1e9, 1),
+        "mfu_best_pct": round(100.0 * flops / best / peak, 1) if flops else None,
+        "pool_contended": bool(med / best > 1.5),
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
