@@ -52,15 +52,62 @@ class Loader:
             yield self.ds.batch(idx, rng=self._rng, concat_pa=self.concat_pa)
 
 
+class PrefetchLoader:
+    """Double-buffered background prefetch over a Loader.
+
+    While the device runs step N, a worker thread assembles batch N+1 (the
+    numpy fancy-indexing + native augment path releases the GIL), hiding
+    host batch-assembly latency behind device compute — the role of the
+    reference's torch DataLoader worker processes (train_setup.py:16-39),
+    without multiprocess serialization. Iteration order and RNG consumption
+    are identical to the wrapped loader's.
+    """
+
+    def __init__(self, loader: Loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+        self.ds = loader.ds  # passthrough used by eval helpers
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _END = object()
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+                q.put(_END)
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+
+
 def setup_loaders(
     datasets: Dict[str, ArrayDataset],
     batch_size: int,
     seed: int = 0,
     concat_pa: bool = True,
     max_batches: Optional[int] = None,
+    prefetch: bool = True,
 ) -> Dict[str, Loader]:
-    return {
-        split: Loader(
+    def build(split, ds, i):
+        loader = Loader(
             ds,
             batch_size,
             shuffle=(split == "train"),
@@ -69,5 +116,10 @@ def setup_loaders(
             concat_pa=concat_pa,
             max_batches=max_batches,
         )
+        # overlap train batch assembly with device compute
+        return PrefetchLoader(loader) if prefetch and split == "train" else loader
+
+    return {
+        split: build(split, ds, i)
         for i, (split, ds) in enumerate(datasets.items())
     }
