@@ -20,6 +20,9 @@ import numpy as np
 
 
 def main(argv: Optional[list] = None) -> None:
+    from causal_gen_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
     from causal_gen_tpu.cli.train_cf import build_pgm_from_ckpt
     from causal_gen_tpu.data.datasets import setup_datasets
     from causal_gen_tpu.data.loader import Loader

@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[list] = None) -> None:
+    from causal_gen_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
     from causal_gen_tpu.config import get_config
     from causal_gen_tpu.data.datasets import setup_datasets
     from causal_gen_tpu.data.loader import setup_loaders
@@ -88,12 +91,12 @@ def main(argv: Optional[list] = None) -> None:
         from causal_gen_tpu.train.vae_trainer import init_model_params
 
         cfg, _, _ = load_checkpoint(args.resume)
-        cfg = cfg.replace(**{k: v for k, v in overrides.items() if k in ("lr", "epochs", "data_dir")})
+        cfg = cfg.replace(**{k: v for k, v in overrides.items() if k in ("lr", "epochs", "data_dir", "eval_freq", "viz_freq")})
         _model = SimpleVAE(cfg=cfg) if cfg.vae == "simple" else HVAE(cfg=cfg)
         _params = init_model_params(cfg, _model, _jax.random.PRNGKey(cfg.seed))
         template = init_train_state(cfg, _params)
         cfg, init_state, extra = load_checkpoint(args.resume, template_state=template)
-        cfg = cfg.replace(**{k: v for k, v in overrides.items() if k in ("lr", "epochs", "data_dir")})
+        cfg = cfg.replace(**{k: v for k, v in overrides.items() if k in ("lr", "epochs", "data_dir", "eval_freq", "viz_freq")})
     else:
         cfg = get_config(args.hps, **overrides)
 

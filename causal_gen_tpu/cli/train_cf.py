@@ -77,6 +77,9 @@ def build_pgm_from_ckpt(path: str, setup_predictors: bool):
 
 
 def main(argv: Optional[list] = None) -> None:
+    from causal_gen_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
     from causal_gen_tpu.data.datasets import setup_datasets
     from causal_gen_tpu.data.loader import setup_loaders
     from causal_gen_tpu.models.hvae import HVAE

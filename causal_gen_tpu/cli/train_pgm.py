@@ -69,6 +69,9 @@ def build_pgm(cfg):
 
 
 def main(argv: Optional[list] = None) -> None:
+    from causal_gen_tpu.utils.cache import setup_compilation_cache
+
+    setup_compilation_cache()
     from causal_gen_tpu.config import get_config
     from causal_gen_tpu.data.datasets import setup_datasets
     from causal_gen_tpu.data.loader import setup_loaders

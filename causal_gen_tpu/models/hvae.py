@@ -109,7 +109,7 @@ class DecoderBlock(nn.Module):
         p_logscale = stats32[..., self.z_dim :]
         p_features = z[..., 2 * self.z_dim :]
         if t is not None:
-            p_logscale = p_logscale + math.log(t)
+            p_logscale = p_logscale + jnp.log(t)  # jnp: t may be a tracer (one viz graph for all temps)
         return p_loc, p_logscale, p_features
 
     def forward_posterior(
@@ -119,7 +119,7 @@ class DecoderBlock(nn.Module):
         out = self.posterior(h).astype(jnp.float32)
         q_loc, q_logscale = jnp.split(out, 2, axis=-1)
         if t is not None:
-            q_logscale = q_logscale + math.log(t)
+            q_logscale = q_logscale + jnp.log(t)  # jnp: t may be a tracer (one viz graph for all temps)
         return q_loc, q_logscale
 
     def __call__(self, *a, **k):  # linen requires __call__; dispatch unused

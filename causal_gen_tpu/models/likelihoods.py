@@ -86,7 +86,7 @@ class DGaussNet(nn.Module):
                 b_ = loc[..., 2] + coeff[..., 1] * x[..., 0] + coeff[..., 2] * x[..., 1]
             loc = jnp.stack([r, g, b_], axis=-1)
         if t is not None:
-            logscale = logscale + math.log(t)
+            logscale = logscale + jnp.log(t)  # jnp: t may be a tracer (one viz graph for all temps)
         return loc, logscale
 
     def nll(self, h: Array, x: Array) -> Array:
@@ -140,7 +140,7 @@ class GaussNet(nn.Module):
         loc = self.x_loc(h)
         logscale = jnp.clip(jnp.einsum("bhwc,co->bhwo", h, k) + b, min=EPS_LOGSCALE)
         if t is not None:
-            logscale = logscale + math.log(t)
+            logscale = logscale + jnp.log(t)  # jnp: t may be a tracer (one viz graph for all temps)
         return loc, logscale
 
     def __call__(self, h: Array, x=None, t: Optional[float] = None):

@@ -46,7 +46,7 @@ class SimpleEncoder(nn.Module):
         loc = nn.Dense(self.z_dim)(h)
         logscale = jnp.clip(nn.Dense(self.z_dim)(h), min=EPS_Z)
         if t is not None:
-            logscale = logscale + math.log(t)
+            logscale = logscale + jnp.log(t)  # jnp: t may be a tracer (one viz graph for all temps)
         return loc, logscale
 
 
@@ -68,7 +68,7 @@ class CondPrior(nn.Module):
             nn.Dense(self.z_dim, kernel_init=zeros, bias_init=zeros)(h), min=EPS_Z
         )
         if t is not None:
-            logscale = logscale + math.log(t)
+            logscale = logscale + jnp.log(t)  # jnp: t may be a tracer (one viz graph for all temps)
         return loc, logscale, nn.Dense(self.z_dim)(h)
 
 
@@ -117,7 +117,7 @@ class SimpleDecoder(nn.Module):
             p_loc = jnp.zeros((y.shape[0], cfg.z_dim))
             p_logscale = jnp.zeros((y.shape[0], cfg.z_dim))
             if t is not None:
-                p_logscale = p_logscale + math.log(t)
+                p_logscale = p_logscale + jnp.log(t)  # jnp: t may be a tracer (one viz graph for all temps)
 
         if z is None:
             z = sample_gaussian(self.make_rng("sample"), p_loc, p_logscale)

@@ -58,6 +58,28 @@ def make_cf_parents(cfg: Config, pa: np.ndarray, shuffled_pa: np.ndarray) -> np.
     return cf_pa
 
 
+# Jitted viz programs, cached per model instance. The previous eager path
+# issued hundreds of unjitted applies per grid (one per sample per row);
+# through a tunneled backend at ~0.3s/dispatch one grid cost ~19 minutes.
+# The cache holds (model, jitted_fn) so the model reference pins the id.
+_JIT_CACHE: Dict[tuple, tuple] = {}
+
+
+def _jitted(model, tag: str, make_fn):
+    key = (id(model), tag)
+    hit = _JIT_CACHE.get(key)
+    if hit is None or hit[0] is not model:
+        _JIT_CACHE[key] = (model, jax.jit(make_fn(model)))
+    return _JIT_CACHE[(id(model), tag)][1]
+
+
+def _tile_latents(zs, reps: int):
+    """Repeat each latent row ``reps`` times (sample-major order)."""
+    return [
+        jax.tree.map(lambda v: jnp.repeat(v, reps, axis=0), z) for z in zs
+    ]
+
+
 def write_images(
     cfg: Config,
     model,
@@ -84,34 +106,44 @@ def write_images(
     pa = jnp.asarray(batch["pa"], jnp.float32)
     bs, h, w, c = x.shape
 
-    ap = lambda method, *a, **kw: model.apply(
-        {"params": params}, *a, method=method,
-        rngs={"sample": kw.pop("rng", rng)}, **kw,
-    )
+    abduct = _jitted(model, "abduct", lambda m: lambda p, k, x_, pa_: m.apply(
+        {"params": p}, x_, pa_, method=m.abduct, rngs={"sample": k}))
+    fwd = _jitted(model, "fwd", lambda m: lambda p, k, zs, pa_, t_: m.apply(
+        {"params": p}, zs, pa_, t=t_, method=m.forward_latents,
+        rngs={"sample": k}))
+    smp = _jitted(model, "sample", lambda m: lambda p, k, pa_, t_: m.apply(
+        {"params": p}, pa_, True, t=t_, method=m.sample, rngs={"sample": k}))
+
+    def fwd_tiled(zs, pa_flat, key):
+        """forward_latents with each latent row tiled to match pa_flat."""
+        reps = pa_flat.shape[0] // zs[0].shape[0] if zs else 1
+        return fwd(params, key, _tile_latents(zs, reps), pa_flat, t)
 
     orig = _postprocess(x)
     rows: List[np.ndarray] = [orig]
 
     # reconstructions from the first l abducted latents at each cut level
     # (utils.py:289-305); n_latents_viz=0 -> l_points=[len(zs)] (full recon)
-    zs = ap(model.abduct, x, pa)
+    zs = abduct(params, rng, x, pa)
     z_plain = [z["z"] if isinstance(z, dict) else z for z in zs]
     l_points = np.floor(
         np.linspace(0, 1, n_latents_viz + 2) * len(zs)
     ).astype(int)[1:]
     for l in l_points:
-        x_rec, _ = ap(model.forward_latents, z_plain[: int(l)], pa, t=0.1)
+        x_rec, _ = fwd(params, rng, z_plain[: int(l)], pa, 0.1)
         rows.append(_postprocess(x_rec))
     rows.append(np.zeros_like(orig))
 
-    # unconditional samples at 10 temperatures (utils.py:307-311)
+    # unconditional samples at 10 temperatures (utils.py:307-311); t is a
+    # traced arg, so all ten reuse one compiled program
     for i, temp in enumerate(TEMPS):
-        xs, _ = ap(model.sample, pa, True, t=temp, rng=jax.random.fold_in(rng, i))
+        xs, _ = smp(params, jax.random.fold_in(rng, i), pa, temp)
         rows.append(_postprocess(xs))
     rows.append(np.zeros_like(orig))
 
     # pseudo counterfactual panel: for each sample, intervene on each
-    # attribute with the same abducted z (utils.py:313-404)
+    # attribute with the same abducted z (utils.py:313-404). All samples'
+    # intervention rows are batched into single (bs*d) device programs.
     host_rng = np.random.RandomState(1)
     idx = np.arange(bs)
     host_rng.shuffle(idx)
@@ -122,46 +154,47 @@ def write_images(
     def _row(img: np.ndarray) -> np.ndarray:
         return np.concatenate([img[:bs], pad], axis=0) if d < bs else img[:bs]
 
+    cf_pa_all = np.stack(
+        [make_cf_parents(cfg, pa_np[ii], pa_np[idx[ii]]) for ii in range(bs)]
+    )  # (bs, d, ctx)
+    cf_pa_flat = jnp.asarray(cf_pa_all.reshape(bs * d, -1))
+    pa_rep_flat = jnp.asarray(np.repeat(pa_np, d, axis=0))
+
+    def _grid(loc) -> np.ndarray:
+        return _postprocess(loc).reshape(bs, d, h, w, c)
+
     for l in l_points:
+        zl = z_plain[: int(l)]
+        rec = _grid(fwd_tiled(zl, pa_rep_flat, rng)[0]).astype(np.int16)
+        # direct-effect cf: x* = g(pa*, z)
+        de = _grid(fwd_tiled(zl, cf_pa_flat, rng)[0])
+        effects = []
+        # cfg drives the branch: setup-time module attrs (model.cond_prior)
+        # are not visible on the unbound linen module
+        if cfg.cond_prior:
+            abduct_cf = _jitted(
+                model, "abduct_cf",
+                lambda m: lambda p, k, x_, pa_, cfpa_, a_, t_: m.apply(
+                    {"params": p}, jnp.repeat(x_, pa_.shape[0] // x_.shape[0],
+                                              axis=0),
+                    pa_, cf_parents=cfpa_, alpha=a_, t=t_,
+                    method=m.abduct, rngs={"sample": k}))
+            # cf_z stays full-length (the reference truncates only the
+            # direct-effect z at l, utils.py:274 vs 395-398); indirect
+            # effect x* = g(pa, z*) then total x* = g(pa*, z*)
+            # (utils.py:274-286), each with its diff-vs-recon row
+            cf_z = abduct_cf(params, rng, x, pa_rep_flat, cf_pa_flat, alpha, t)
+            for pa_fwd in (pa_rep_flat, cf_pa_flat):
+                eff_loc, _ = fwd(params, rng, cf_z, pa_fwd, t)
+                effects.append(_grid(eff_loc))
         for ii in range(bs):
-            cf_pa = make_cf_parents(cfg, pa_np[ii], pa_np[idx[ii]])
-            pa_rep = jnp.tile(pa[ii][None], (d, 1))
-            z_i = [
-                jax.tree.map(lambda v: jnp.repeat(v[ii][None], d, axis=0), z)
-                for z in zs[: int(l)]  # partial abduction at cut level l
-            ]
-            z_plain_i = [z["z"] if isinstance(z, dict) else z for z in z_i]
-            rec_loc, _ = ap(model.forward_latents, z_plain_i, pa_rep, t=t)
-            rec = _postprocess(rec_loc).astype(np.int16)
-            # direct-effect cf: x* = g(pa*, z)
-            cf_loc, _ = ap(
-                model.forward_latents, z_plain_i, jnp.asarray(cf_pa), t=t
-            )
-            de = _postprocess(cf_loc)
-            rows.append(_row(de))
-            rows.append(_row((de.astype(np.int16) - rec).astype(np.uint8)))
-            # cfg drives the branch: setup-time module attrs (model.cond_prior)
-            # are not visible on the unbound linen module
-            if cfg.cond_prior:
-                cf_z = ap(
-                    model.abduct,
-                    jnp.repeat(x[ii][None], d, axis=0),
-                    pa_rep,
-                    cf_parents=jnp.asarray(cf_pa),
-                    alpha=alpha,
-                    t=t,
+            rows.append(_row(de[ii]))
+            rows.append(_row((de[ii].astype(np.int16) - rec[ii]).astype(np.uint8)))
+            for eff in effects:
+                rows.append(_row(eff[ii]))
+                rows.append(
+                    _row((eff[ii].astype(np.int16) - rec[ii]).astype(np.uint8))
                 )
-                # cf_z stays full-length (the reference truncates only the
-                # direct-effect z at l, utils.py:274 vs 395-398)
-                # indirect effect x* = g(pa, z*) then total x* = g(pa*, z*)
-                # (utils.py:274-286), each with its diff-vs-recon row
-                for pa_fwd in (pa_rep, jnp.asarray(cf_pa)):
-                    eff_loc, _ = ap(model.forward_latents, cf_z, pa_fwd, t=t)
-                    eff = _postprocess(eff_loc)
-                    rows.append(_row(eff))
-                    rows.append(
-                        _row((eff.astype(np.int16) - rec).astype(np.uint8))
-                    )
         rows.append(np.zeros_like(orig))
 
     # tile rows into one image (utils.py:405-419)
