@@ -37,12 +37,26 @@ import numpy as np
 from jax import Array
 
 
+def _min3_along(x: Array, axis: int) -> Array:
+    """SAME-padded 3-tap sliding minimum along one axis via shifted
+    ``jnp.minimum`` — identical forward values to a reduce_window min-pool,
+    but its VJP is elementwise selects (reduce_window's backward lowers to
+    Select-and-Scatter, which the TPU backend rejects for (1, 3, 3) windows:
+    "less than 2 inactive dims is not implemented")."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 1)
+    xp = jnp.pad(x, pad, constant_values=jnp.inf)
+    n = x.shape[axis]
+    sl = lambda s: jax.lax.slice_in_dim(xp, s, s + n, axis=axis)
+    return jnp.minimum(jnp.minimum(sl(0), sl(1)), sl(2))
+
+
 def soft_erode(x: Array) -> Array:
-    """3x3 min-pool over the trailing two spatial dims of (N, H, W)."""
-    return jax.lax.reduce_window(
-        x, jnp.inf, jax.lax.min, window_dimensions=(1, 3, 3),
-        window_strides=(1, 1, 1), padding="SAME",
-    )
+    """3x3 min-pool over the trailing two spatial dims of (N, H, W).
+
+    The 3x3 square structuring element is separable: min over rows then
+    columns."""
+    return _min3_along(_min3_along(x, 1), 2)
 
 
 def soft_binarize(x01: Array, threshold: float = 0.5, temp: float = 0.02) -> Array:
