@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bias_max_res", type=int)
     p.add_argument("--dtype", choices=["float32", "bfloat16"])
     p.add_argument("--use_pallas", action="store_true", default=None)
+    p.add_argument("--stage_scan", action="store_true", default=None,
+                   help="lax.scan decoder runs (faster big-config compiles)")
+    p.add_argument("--remat", action="store_true", default=None,
+                   help="rematerialize blocks (stage-level with --stage_scan)")
+    p.add_argument("--width_multiple", type=int,
+                   help="round conv widths up to a lane-friendly multiple")
     return p
 
 
