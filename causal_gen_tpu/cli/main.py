@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rematerialize blocks (stage-level with --stage_scan)")
     p.add_argument("--width_multiple", type=int,
                    help="round conv widths up to a lane-friendly multiple")
+    p.add_argument("--steps_per_call", type=int,
+                   help="optimizer steps per jitted dispatch (amortizes "
+                        "host<->device latency on tunneled backends)")
     return p
 
 

@@ -93,6 +93,9 @@ class Config:
     grad_clip: float = 350.0
     grad_skip: float = 500.0
     accu_steps: int = 1
+    steps_per_call: int = 1  # optimizer steps per jitted dispatch (lax.scan);
+    # amortizes host->device dispatch/transfer latency on remote/tunneled
+    # backends without changing update semantics (see train/vae_trainer.py)
     beta: float = 1.0
     beta_warmup_steps: int = 0
     kl_free_bits: float = 0.0

@@ -48,6 +48,44 @@ def preprocess_x(x: jax.Array) -> jax.Array:
 
 
 def make_train_step(cfg: Config, model, donate: bool = True):
+    step_body = _make_step_body(cfg, model)
+    return jax.jit(step_body, donate_argnums=(0,) if donate else ())
+
+
+def make_multi_train_step(cfg: Config, model, donate: bool = True):
+    """S optimizer steps per jitted dispatch (lax.scan over stacked batches).
+
+    On a remote/tunneled backend every dispatch pays a round trip and every
+    batch pays a transfer-latency floor; scanning ``steps_per_call`` full
+    update steps inside one XLA program amortizes both. Update semantics and
+    the per-batch RNG stream are IDENTICAL to the single-step path: step j of
+    a chunk starting at global batch index ``start`` uses
+    ``fold_in(rng, offset + j)`` — the same key the single-step caller
+    derives (run_epoch) — verified by tests/test_train.py parity test.
+    """
+    step_body = _make_step_body(cfg, model)
+
+    def multi_step(
+        state: TrainState,
+        batch: Dict[str, jax.Array],  # {"x": (S, accu, micro, ...), "pa": (S, accu, micro, ctx)}
+        rng: jax.Array,
+        offset: jax.Array,  # epoch*100000 + chunk-start batch index (int32)
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        def body(st, inp):
+            x, pa, j = inp
+            key = jax.random.fold_in(rng, offset + j)
+            st, m = step_body(st, {"x": x, "pa": pa}, key)
+            return st, m
+
+        s = batch["x"].shape[0]
+        js = jnp.arange(s, dtype=jnp.int32)
+        state, ms = jax.lax.scan(body, state, (batch["x"], batch["pa"], js))
+        return state, ms  # metrics stacked on leading S axis
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+
+
+def _make_step_body(cfg: Config, model):
     opt = make_optimizer(cfg)
 
     def loss_fn(params, x, pa, beta, rng):
@@ -131,7 +169,7 @@ def make_train_step(cfg: Config, model, donate: bool = True):
         )
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return train_step
 
 
 def make_eval_step(cfg: Config, model):
@@ -207,6 +245,7 @@ def run_epoch(
     rng: jax.Array,
     training: bool,
     epoch: int,
+    multi_step=None,
 ) -> Tuple[TrainState, Dict[str, float]]:
     # metrics stay on device until epoch end: a per-step device_get would
     # force a host sync every step and serialize the dispatch pipeline
@@ -214,17 +253,50 @@ def run_epoch(
     ms = []
     sizes = []
     skipped_before = int(jax.device_get(state.skipped)) if training else 0
-    for i, batch in enumerate(loader):
-        sizes.append(batch["x"].shape[0])
-        key = jax.random.fold_in(rng, epoch * 100000 + i)
-        if training:
-            accu_batch = _reshape_accu(batch, cfg.accu_steps)
-            state, m = train_step(state, accu_batch, key)
-        else:
-            m = eval_step(state.ema_params, batch, key)
-            m = dict(m, skipped=jnp.zeros(()))
-        ms.append(m)
-    ms = jax.device_get(ms)
+    spc = cfg.steps_per_call if training else 1
+    if spc > 1 and multi_step is not None:
+        multi_fn = multi_step
+        # chunk the batch stream: S update steps per dispatch
+        pend: list = []
+        pend_start = 0
+
+        def flush(state):
+            start = pend_start
+            chunk = {
+                k: np.stack([b[k] for b in pend]) for k in pend[0]
+            }
+            offset = jnp.asarray(epoch * 100000 + start, jnp.int32)
+            state, m = multi_fn(state, chunk, rng, offset)
+            return state, m
+
+        for i, batch in enumerate(loader):
+            sizes.append(batch["x"].shape[0])
+            pend.append(_reshape_accu(batch, cfg.accu_steps))
+            if len(pend) == spc:
+                state, m = flush(state)
+                ms.append(m)
+                pend, pend_start = [], i + 1
+        if pend:
+            state, m = flush(state)
+            ms.append(m)
+        ms = jax.device_get(ms)
+        ms = [
+            jax.tree.map(lambda v: v[j], m)
+            for m in ms
+            for j in range(len(m["skipped"]))
+        ]
+    else:
+        for i, batch in enumerate(loader):
+            sizes.append(batch["x"].shape[0])
+            key = jax.random.fold_in(rng, epoch * 100000 + i)
+            if training:
+                accu_batch = _reshape_accu(batch, cfg.accu_steps)
+                state, m = train_step(state, accu_batch, key)
+            else:
+                m = eval_step(state.ema_params, batch, key)
+                m = dict(m, skipped=jnp.zeros(()))
+            ms.append(m)
+        ms = jax.device_get(ms)
     stats = {"elbo": 0.0, "nll": 0.0, "kl": 0.0, "n": 0.0}
     for m, bs in zip(ms, sizes):
         w = (1.0 - float(m["skipped"])) * bs  # skipped updates excluded
@@ -264,6 +336,9 @@ def train(
 
     train_step = make_train_step(cfg, model)
     eval_step = make_eval_step(cfg, model)
+    multi_step = (
+        make_multi_train_step(cfg, model) if cfg.steps_per_call > 1 else None
+    )
 
     writer = None
     if save_dir:
@@ -277,7 +352,7 @@ def train(
         t0 = time.time()
         state, tr = run_epoch(
             cfg, model, state, loaders["train"], train_step, eval_step,
-            train_rng, training=True, epoch=epoch,
+            train_rng, training=True, epoch=epoch, multi_step=multi_step,
         )
         dt = time.time() - t0
         log.info(

@@ -139,6 +139,46 @@ class TestTrainStep:
         _, m = step(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(m["elbo"]))
 
+    def test_multi_step_matches_single_step(self):
+        """steps_per_call scan == the single-step path bit-for-bit: same
+        update sequence AND same per-batch RNG keys (fold_in(rng, offset+j))."""
+        from causal_gen_tpu.models.hvae import HVAE
+        from causal_gen_tpu.train.state import init_train_state
+        from causal_gen_tpu.train.vae_trainer import (
+            init_model_params,
+            make_multi_train_step,
+            make_train_step,
+        )
+
+        cfg = tiny_cfg()
+        model = HVAE(cfg=cfg)
+        params = init_model_params(cfg, model, jax.random.PRNGKey(0))
+        rng = jax.random.PRNGKey(3)
+        offset = 42  # arbitrary epoch*100000 + chunk-start index
+        batches = [make_batch(cfg, seed=s) for s in range(4)]
+
+        step = make_train_step(cfg, model, donate=False)
+        st_a = init_train_state(cfg, params)
+        singles = []
+        for j, b in enumerate(batches):
+            st_a, m = step(st_a, b, jax.random.fold_in(rng, offset + j))
+            singles.append(m)
+
+        multi = make_multi_train_step(cfg, model, donate=False)
+        chunk = {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+        st_b, ms = multi(
+            init_train_state(cfg, params), chunk, rng,
+            jnp.asarray(offset, jnp.int32),
+        )
+
+        np.testing.assert_array_equal(
+            np.asarray([float(m["elbo"]) for m in singles]),
+            np.asarray(ms["elbo"]),
+        )
+        assert int(st_a.step) == int(st_b.step)
+        for pa, pb in zip(jax.tree.leaves(st_a.params), jax.tree.leaves(st_b.params)):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
     def test_determinism(self):
         from causal_gen_tpu.models.hvae import HVAE
         from causal_gen_tpu.train.state import init_train_state
