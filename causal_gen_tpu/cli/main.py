@@ -133,9 +133,14 @@ def main(argv: Optional[list] = None) -> None:
         np.arange(min(cfg.context_dim * 5, cfg.bs))
     )
 
+    # viz_freq is in ITERATIONS (reference hps.py/trainer.py:89 semantics);
+    # convert via the actual steps-per-epoch, not a hard-coded 1000
+    steps_per_epoch = max(1, len(loaders["train"]))
+    viz_epoch_freq = max(1, round(cfg.viz_freq / steps_per_epoch)) if cfg.viz_freq else 0
+
     def callback(epoch, state, history):
         writer.add_scalars(history, epoch)
-        if cfg.viz_freq and epoch % max(1, cfg.viz_freq // 1000) == 0:
+        if viz_epoch_freq and epoch % viz_epoch_freq == 0:
             try:
                 write_images(
                     cfg, model, state.ema_params, viz_batch,
