@@ -46,6 +46,9 @@ def main() -> None:
     p.add_argument("--remat", action="store_true")
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--dtype", default=None)
+    p.add_argument("--x_like", default=None,
+                   help="likelihood override (e.g. shared_dmol for the "
+                        "DMoL-bound Pallas comparison)")
     p.add_argument("--windows", type=int, default=12)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--trace_dir", default="",
@@ -53,7 +56,7 @@ def main() -> None:
     args = p.parse_args()
 
     kw = dict(bs=args.bs, accu_steps=1)
-    for k in ("beta", "z_max_res", "dtype"):
+    for k in ("beta", "z_max_res", "dtype", "x_like"):
         v = getattr(args, k)
         if v is not None:
             kw[k] = v
