@@ -88,6 +88,12 @@ class Config:
     ema_rate: float = 0.999
     input_res: int = 64
     input_channels: int = 1
+    # 2 = NHWC images (the reference's domain); 3 = NDHWC volumes (cubic:
+    # one `input_res` per side). The arch DSL is unchanged — stage "res"
+    # means per-side resolution. No reference counterpart (strictly 2-D);
+    # this is the TPU-native extension the spatial-sharding helpers target
+    # (parallel/mesh.py::spatial_sharding).
+    spatial_dims: int = 2
     pad: int = 3
     hflip: float = 0.5
     grad_clip: float = 350.0
@@ -280,6 +286,32 @@ register(
     parents_x=("age", "race", "sex", "finding"),
     context_dim=6,
     dtype="bfloat16",  # see ukbb192 note
+)
+
+
+register(
+    # 3-D volumetric HVAE demo: synthetic spheres with causal parents
+    # (radius, intensity) — the volumetric analog of the Morpho-MNIST
+    # (thickness, intensity) mechanism. No reference counterpart.
+    "vol3d32",
+    lr=1e-3,
+    bs=8,
+    wd=0.01,
+    z_dim=8,
+    input_res=32,
+    spatial_dims=3,
+    pad=0,
+    hflip=0.0,
+    enc_arch="32b2d2,16b2d2,8b2d2,4b2d4,1b2",
+    dec_arch="1b2,4b2,8b2,16b2,32b2",
+    widths=(8, 16, 32, 48, 64),
+    block_version="light",  # 2-conv body: 3-D convs are 3x the taps
+    parents_x=("radius", "intensity"),
+    context_dim=2,
+    context_norm="[-1,1]",
+    bias_max_res=8,  # biases are r^3 tensors; cap them low
+    x_like="diag_dgauss",
+    dtype="bfloat16",
 )
 
 

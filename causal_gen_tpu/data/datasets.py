@@ -311,11 +311,69 @@ def mimic(cfg: Config, data_dir: Optional[str] = None) -> Dict[str, ArrayDataset
     return {s: build(s) for s in ["train", "valid", "test"]}
 
 
+# ---------------------------------------------------------------------------
+# Synthetic 3-D volumes (no reference counterpart: the reference is 2-D only)
+# ---------------------------------------------------------------------------
+
+VOL3D_MIN_MAX = {"radius": (0.15, 0.40), "intensity": (96.0, 255.0)}
+
+
+def make_vol3d(
+    n: int, res: int, seed: int = 0
+) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+    """Deterministic synthetic spheres with a causal parent pair.
+
+    SCM (the volumetric analog of Morpho-MNIST's thickness -> intensity,
+    reference datasets.py:202-304): radius ~ U(0.15, 0.40) (fraction of the
+    half-side), intensity = 255 - 300*(radius-0.15) + N(0, 8) clipped to
+    [96, 255] — larger structures image dimmer, so do(radius) has a visible
+    downstream effect on brightness. Voxels: intensity * sigmoid((r - d)/s)
+    with a jittered center, quantized to uint8.
+    """
+    rng = np.random.default_rng(seed)
+    radius = rng.uniform(*VOL3D_MIN_MAX["radius"], size=n).astype(np.float32)
+    intensity = 255.0 - 300.0 * (radius - 0.15) + rng.normal(0.0, 8.0, size=n)
+    intensity = np.clip(intensity, *VOL3D_MIN_MAX["intensity"]).astype(np.float32)
+    center = rng.uniform(-0.1, 0.1, size=(n, 3)).astype(np.float32)
+
+    ax = np.linspace(-1.0, 1.0, res, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(ax, ax, ax, indexing="ij")
+    grid = np.stack([gx, gy, gz])  # (3, res, res, res)
+    sharp = 2.0 / res  # ~1 voxel soft edge
+    vols = np.empty((n, res, res, res, 1), np.uint8)
+    for i in range(n):
+        d = np.sqrt(((grid - center[i][:, None, None, None]) ** 2).sum(0))
+        soft = 1.0 / (1.0 + np.exp(-(radius[i] - d) / sharp))
+        vols[i, ..., 0] = np.clip(intensity[i] * soft, 0, 255).astype(np.uint8)
+    return vols, {"radius": radius, "intensity": intensity}
+
+
+def vol3d(cfg: Config, data_dir: Optional[str] = None) -> Dict[str, ArrayDataset]:
+    """Synthetic volumetric dataset builder (generated, no files needed)."""
+
+    def build(n: int, seed: int) -> ArrayDataset:
+        vols, raw = make_vol3d(n, cfg.input_res, seed=seed)
+        attrs = {}
+        for k, v in raw.items():
+            lo, hi = VOL3D_MIN_MAX[k]
+            attrs[k] = normalize(v, x_min=lo, x_max=hi).astype(np.float32)
+        return ArrayDataset(
+            images=vols, attrs=attrs, columns=tuple(cfg.parents_x),
+        )
+
+    return {
+        "train": build(512, cfg.seed),
+        "valid": build(128, cfg.seed + 1),
+        "test": build(128, cfg.seed + 2),
+    }
+
+
 BUILDERS = {
     "morphomnist": morphomnist,
     "cmnist": cmnist,
     "ukbb": ukbb,
     "mimic": mimic,
+    "vol3d": vol3d,
 }
 
 

@@ -50,12 +50,14 @@ class Block(nn.Module):
     last_scale: float = 1.0  # scale of final conv kernel init (0.0 => zeros)
     dtype: Optional[Any] = None  # compute dtype (bf16 puts convs on the MXU
     # at full rate; params stay f32 — flax casts per-op)
+    spatial_dims: int = 2  # 2 = NHWC images, 3 = NDHWC volumes
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         k = self.kernel_size
+        nd = self.spatial_dims
         conv = lambda w, kk, **kw: nn.Conv(
-            w, (kk, kk), padding="SAME" if kk > 1 else "VALID",
+            w, (kk,) * nd, padding="SAME" if kk > 1 else "VALID",
             dtype=self.dtype, **kw,
         )
         last_init = (
@@ -79,12 +81,12 @@ class Block(nn.Module):
             if x.shape[-1] != out.shape[-1]:
                 # width projection exists when downsampling or narrowing
                 # (reference vae.py:70-71)
-                x = nn.Conv(self.out_width, (1, 1), name="width_proj",
+                x = nn.Conv(self.out_width, (1,) * nd, name="width_proj",
                             dtype=self.dtype)(x)
             out = x + out
         if self.down_rate:
             d = int(self.down_rate)
-            out = nn.avg_pool(out, (d, d), strides=(d, d))
+            out = nn.avg_pool(out, (d,) * nd, strides=(d,) * nd)
         return out
 
 
@@ -99,6 +101,7 @@ class Encoder(nn.Module):
     version: Optional[str] = None
     dtype: Optional[Any] = None
     remat: bool = False  # nn.remat each block (jax.checkpoint)
+    spatial_dims: int = 2
 
     def setup(self):
         BlockCls = nn.remat(Block) if self.remat else Block
@@ -113,7 +116,8 @@ class Encoder(nn.Module):
             if stage.down_rate is not None:
                 flat += [(self.widths[i + 1], stage.down_rate)]
         self._flat = tuple(flat)
-        self.stem = nn.Conv(stem_width, (7, 7), strides=(stem_stride, stem_stride),
+        nd = self.spatial_dims
+        self.stem = nn.Conv(stem_width, (7,) * nd, strides=(stem_stride,) * nd,
                             padding=3, dtype=self.dtype)
         blocks = []
         n = len(flat)
@@ -128,6 +132,7 @@ class Encoder(nn.Module):
                     version=self.version,
                     last_scale=float(np.sqrt(1.0 / n)),
                     dtype=self.dtype,
+                    spatial_dims=nd,
                 )
             )
         self.blocks = blocks
@@ -135,28 +140,32 @@ class Encoder(nn.Module):
     def __call__(self, x: Array) -> Dict[int, Array]:
         x = self.stem(x)
         acts: Dict[int, Array] = {}
+        nd = self.spatial_dims
         for block in self.blocks:
             x = block(x)
             res = x.shape[1]
             if res % 2 and res > 1:  # pad odd resolutions (reference vae.py:131-132)
-                x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                pad = ((0, 0),) + ((0, 1),) * nd + ((0, 0),)
+                x = jnp.pad(x, pad)
             acts[x.shape[1]] = x
         return acts
 
 
 def upsample_nearest(x: Array, target_res: int) -> Array:
-    """Nearest-neighbor upsample NHWC to (target_res, target_res).
+    """Nearest-neighbor upsample all spatial dims of N(D)HWC to target_res.
 
     Matches F.interpolate(..., mode='nearest') for integer scale factors
     (reference vae.py:253, 259); implemented as repeat so XLA lowers it to a
-    cheap broadcast-reshape instead of a gather.
+    cheap broadcast-reshape instead of a gather. Works for 2-D images and
+    3-D volumes (cubic: every spatial dim shares one resolution).
     """
-    b, h, w, c = x.shape
+    h = x.shape[1]
     if target_res == h:
         return x
     if target_res % h == 0:
         f = target_res // h
-        x = jnp.repeat(x, f, axis=1)
-        x = jnp.repeat(x, f, axis=2)
+        for ax in range(1, x.ndim - 1):
+            x = jnp.repeat(x, f, axis=ax)
         return x
-    return jax.image.resize(x, (b, target_res, target_res, c), method="nearest")
+    shape = (x.shape[0],) + (target_res,) * (x.ndim - 2) + (x.shape[-1],)
+    return jax.image.resize(x, shape, method="nearest")

@@ -35,10 +35,13 @@ from causal_gen_tpu.models.likelihoods import make_likelihood
 from causal_gen_tpu.ops.distributions import gaussian_kl, sample_gaussian
 
 
-def _bcast_pa(pa: Array, res: int) -> Array:
-    """(B, ctx) -> (B, res, res, ctx) broadcast (free under XLA fusion)."""
+def _bcast_pa(pa: Array, like: Array) -> Array:
+    """(B, ctx) -> (B, *spatial, ctx) broadcast to ``like``'s spatial dims
+    (free under XLA fusion); rank-agnostic so 3-D volumes work unchanged."""
     b, c = pa.shape
-    return jnp.broadcast_to(pa[:, None, None, :], (b, res, res, c))
+    nd = like.ndim - 2
+    shape = (b,) + like.shape[1:-1] + (c,)
+    return jnp.broadcast_to(pa.reshape((b,) + (1,) * nd + (c,)), shape)
 
 
 class DecoderBlock(nn.Module):
@@ -57,11 +60,13 @@ class DecoderBlock(nn.Module):
     n_blocks: int  # total decoder depth, for 1/sqrt(L) weight scaling
     dtype: Optional[Any] = None  # conv compute dtype (bf16 -> MXU full rate)
     remat: bool = False  # rematerialize the conv bodies (jax.checkpoint)
+    spatial_dims: int = 2
 
     def setup(self):
         BlockCls = nn.remat(Block) if self.remat else Block
         bottleneck = self.in_width // self.bottleneck_factor
         k = 3 if self.resolution > 2 else 1
+        nd = self.spatial_dims
         scale = float(np.sqrt(1.0 / self.n_blocks))
         self.prior = BlockCls(
             in_width=self.in_width + (self.context_dim if self.cond_prior else 0),
@@ -72,6 +77,7 @@ class DecoderBlock(nn.Module):
             version=self.version,
             last_scale=0.0,  # zero-init prior head (reference vae.py:308)
             dtype=self.dtype,
+            spatial_dims=nd,
         )
         if self.stochastic:
             self.posterior = BlockCls(
@@ -82,11 +88,12 @@ class DecoderBlock(nn.Module):
                 residual=False,
                 version=self.version,
                 dtype=self.dtype,
+                spatial_dims=nd,
             )
-        self.z_proj = nn.Conv(self.in_width, (1, 1), kernel_init=scaled_init(scale),
+        self.z_proj = nn.Conv(self.in_width, (1,) * nd, kernel_init=scaled_init(scale),
                               dtype=self.dtype)
         if not self.q_correction:
-            self.z_feat_proj = nn.Conv(self.out_width, (1, 1), dtype=self.dtype)
+            self.z_feat_proj = nn.Conv(self.out_width, (1,) * nd, dtype=self.dtype)
         self.conv = BlockCls(
             in_width=self.in_width,
             bottleneck=bottleneck,
@@ -96,13 +103,14 @@ class DecoderBlock(nn.Module):
             version=self.version,
             last_scale=scale,
             dtype=self.dtype,
+            spatial_dims=nd,
         )
 
     def forward_prior(
         self, z: Array, pa: Optional[Array] = None, t: Optional[float] = None
     ) -> Tuple[Array, Array, Array]:
         if self.cond_prior:
-            z = jnp.concatenate([z, _bcast_pa(pa, z.shape[1])], axis=-1)
+            z = jnp.concatenate([z, _bcast_pa(pa, z)], axis=-1)
         z = self.prior(z)
         stats32 = z[..., : 2 * self.z_dim].astype(jnp.float32)
         p_loc = stats32[..., : self.z_dim]
@@ -115,7 +123,7 @@ class DecoderBlock(nn.Module):
     def forward_posterior(
         self, z: Array, x: Array, pa: Array, t: Optional[float] = None
     ) -> Tuple[Array, Array]:
-        h = jnp.concatenate([z, _bcast_pa(pa, z.shape[1]), x], axis=-1)
+        h = jnp.concatenate([z, _bcast_pa(pa, z), x], axis=-1)
         out = self.posterior(h).astype(jnp.float32)
         q_loc, q_logscale = jnp.split(out, 2, axis=-1)
         if t is not None:
@@ -192,6 +200,7 @@ class DecoderRunCell(nn.Module):
     version: Optional[str]
     n_blocks: int
     dtype: Optional[Any] = None
+    spatial_dims: int = 2
 
     def setup(self):
         self.block = DecoderBlock(
@@ -207,6 +216,7 @@ class DecoderRunCell(nn.Module):
             version=self.version,
             n_blocks=self.n_blocks,
             dtype=self.dtype,
+            spatial_dims=self.spatial_dims,
             name="block",
         )
 
@@ -236,7 +246,7 @@ class DecoderRunCell(nn.Module):
             z_s = p_loc
         h = h + p_feat
         h = h + block.z_proj(
-            jnp.concatenate([z_s, _bcast_pa(pa, self.resolution)], axis=-1)
+            jnp.concatenate([z_s, _bcast_pa(pa, z_s)], axis=-1)
         )
         h = block.conv(h)
         z_out = z_s
@@ -259,6 +269,7 @@ class Decoder(nn.Module):
         n = len(stages)
         rev_widths = tuple(reversed(cfg.model_widths))
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else None
+        nd = cfg.spatial_dims
 
         def make_block(i: int, name: Optional[str] = None) -> DecoderBlock:
             res, width = stages[i]
@@ -276,6 +287,7 @@ class Decoder(nn.Module):
                 n_blocks=n,
                 dtype=dtype,
                 remat=cfg.remat and not cfg.stage_scan,
+                spatial_dims=nd,
                 name=name,
             )
 
@@ -313,6 +325,7 @@ class Decoder(nn.Module):
                         version=cfg.block_version,
                         n_blocks=n,
                         dtype=dtype,
+                        spatial_dims=nd,
                         name=f"run_{start}",
                     ))
             self.elems = mods
@@ -324,7 +337,8 @@ class Decoder(nn.Module):
         all_res = sorted(set(r for r, _ in stages))
         self._bias_res = tuple(r for i, r in enumerate(all_res) if r <= cfg.bias_max_res)
         self.bias = [
-            self.param(f"bias_{r}", nn.initializers.zeros, (1, r, r, rev_widths[i]))
+            self.param(f"bias_{r}", nn.initializers.zeros,
+                       (1,) + (r,) * nd + (rev_widths[i],))
             for i, r in enumerate(all_res)
             if r <= cfg.bias_max_res
         ]
@@ -419,7 +433,7 @@ class Decoder(nn.Module):
             z = p_loc
 
         h = h + p_feat
-        h = h + block.z_proj(jnp.concatenate([z, _bcast_pa(pa, res)], axis=-1))
+        h = h + block.z_proj(jnp.concatenate([z, _bcast_pa(pa, z)], axis=-1))
         h = block.conv(h)
 
         if not block.q_correction and (i + 1) < len(self._stages):
@@ -439,7 +453,7 @@ class Decoder(nn.Module):
         cfg = self.cfg
         bs = parents.shape[0]
         n = len(self._stages)
-        h = z = jnp.tile(self._bias_at(1), (bs, 1, 1, 1))
+        h = z = jnp.tile(self._bias_at(1), (bs,) + (1,) * (cfg.spatial_dims + 1))
         if train and cfg.cond_prior:
             p_sto, p_det = self._drop_cond()
         else:
@@ -475,12 +489,17 @@ class Decoder(nn.Module):
             run_lats = latents[start: start + length]
             if acts is not None or all(lat is None for lat in run_lats):
                 # latents unused (posterior mode) or absent: dummy xs only
-                lat_stack = jnp.zeros((length, 1, 1, 1, 1), jnp.float32)
+                lat_stack = jnp.zeros(
+                    (length, 1) + (1,) * (cfg.spatial_dims + 1), jnp.float32
+                )
                 lat_mask = jnp.zeros((length,), jnp.float32)
             else:
                 lat_stack = jnp.stack([
                     lat if lat is not None
-                    else jnp.zeros((bs, res, res, cfg.z_dim), jnp.float32)
+                    else jnp.zeros(
+                        (bs,) + (res,) * cfg.spatial_dims + (cfg.z_dim,),
+                        jnp.float32,
+                    )
                     for lat in run_lats
                 ])
                 lat_mask = jnp.asarray(
@@ -537,11 +556,12 @@ class HVAE(nn.Module):
             version=cfg.block_version,
             dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else None,
             remat=cfg.remat,
+            spatial_dims=cfg.spatial_dims,
         )
         self.decoder = Decoder(cfg=cfg)
         self.likelihood = make_likelihood(
             cfg.input_channels, cfg.model_widths[0], cfg.x_like, cfg.std_init,
-            use_pallas=cfg.use_pallas,
+            use_pallas=cfg.use_pallas, spatial_dims=cfg.spatial_dims,
         )
         self.cond_prior = cfg.cond_prior
         self.free_bits = cfg.kl_free_bits
@@ -552,18 +572,20 @@ class HVAE(nn.Module):
         acts = self.encoder(x)
         h, stats = self.decoder(parents=parents, acts=acts, train=train)
         nll_pp = self.likelihood.nll(h.astype(jnp.float32), x)
+        sp_axes = tuple(range(1, 1 + self.cfg.spatial_dims))  # spatial only
+        all_axes = sp_axes + (1 + self.cfg.spatial_dims,)  # spatial + channel
         if self.free_bits > 0:
             kl_pp = 0.0
             for stat in stats:
                 kl_pp += jnp.sum(
                     jnp.maximum(
-                        self.free_bits, jnp.mean(jnp.sum(stat["kl"], axis=(1, 2)), axis=0)
+                        self.free_bits, jnp.mean(jnp.sum(stat["kl"], axis=sp_axes), axis=0)
                     )
                 )
         else:
             kl_pp = jnp.zeros_like(nll_pp)
             for stat in stats:
-                kl_pp += jnp.sum(stat["kl"], axis=(1, 2, 3))
+                kl_pp += jnp.sum(stat["kl"], axis=all_axes)
         kl_pp = kl_pp / math.prod(x.shape[1:])  # per pixel
         kl_pp = jnp.mean(kl_pp)
         nll_pp = jnp.mean(nll_pp)

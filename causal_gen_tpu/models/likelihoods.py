@@ -36,13 +36,14 @@ class DGaussNet(nn.Module):
     width: int  # widths[0], channels of decoder output h
     x_like: str = "diag_dgauss"
     std_init: float = 0.0
+    spatial_dims: int = 2  # 2 = images, 3 = volumes
 
     def setup(self):
         cov = self.x_like.split("_")[0]
         if cov not in ("fixed", "shared", "diag"):
             raise NotImplementedError(f"{self.x_like} not implemented.")
         self.covariance = cov
-        self.x_loc = nn.Conv(self.input_channels, (1, 1))
+        self.x_loc = nn.Conv(self.input_channels, (1,) * self.spatial_dims)
         # logscale as explicit params for selective freezing (vae.py:335-348):
         # fixed -> freeze kernel+bias; shared -> freeze kernel only.
         if self.std_init > 0:
@@ -58,7 +59,7 @@ class DGaussNet(nn.Module):
             "x_logscale_bias", b_init, (self.input_channels,)
         )
         if self.input_channels == 3:
-            self.channel_coeffs = nn.Conv(3, (1, 1))
+            self.channel_coeffs = nn.Conv(3, (1,) * self.spatial_dims)
 
     def _logscale(self, h: Array) -> Array:
         k, b = self.logscale_kernel, self.logscale_bias
@@ -67,7 +68,7 @@ class DGaussNet(nn.Module):
                 k, b = jax.lax.stop_gradient(k), jax.lax.stop_gradient(b)
             elif self.covariance == "shared":
                 k = jax.lax.stop_gradient(k)
-        return jnp.einsum("bhwc,co->bhwo", h, k) + b
+        return jnp.einsum("...c,co->...o", h, k) + b
 
     def __call__(
         self, h: Array, x: Optional[Array] = None, t: Optional[float] = None
@@ -112,11 +113,12 @@ class GaussNet(nn.Module):
     width: int
     x_like: str = "shared_gauss"
     std_init: float = 1.0
+    spatial_dims: int = 2
 
     def setup(self):
         cov = self.x_like.split("_")[0]
         self.covariance = cov
-        self.x_loc = nn.Conv(self.input_channels, (1, 1))
+        self.x_loc = nn.Conv(self.input_channels, (1,) * self.spatial_dims)
         if self.std_init > 0:
             k_init = nn.initializers.zeros
             b_init = nn.initializers.constant(math.log(self.std_init))
@@ -138,7 +140,7 @@ class GaussNet(nn.Module):
             elif self.covariance == "shared":
                 k = jax.lax.stop_gradient(k)
         loc = self.x_loc(h)
-        logscale = jnp.clip(jnp.einsum("bhwc,co->bhwo", h, k) + b, min=EPS_LOGSCALE)
+        logscale = jnp.clip(jnp.einsum("...c,co->...o", h, k) + b, min=EPS_LOGSCALE)
         if t is not None:
             logscale = logscale + jnp.log(t)  # jnp: t may be a tracer (one viz graph for all temps)
         return loc, logscale
@@ -227,17 +229,21 @@ class DmolNet(nn.Module):
 
 
 def make_likelihood(input_channels: int, width: int, x_like: str, std_init: float,
-                    use_pallas: bool = False):
+                    use_pallas: bool = False, spatial_dims: int = 2):
     kind = x_like.split("_")[1]
     if kind == "dgauss":
         return DGaussNet(
-            input_channels=input_channels, width=width, x_like=x_like, std_init=std_init
+            input_channels=input_channels, width=width, x_like=x_like,
+            std_init=std_init, spatial_dims=spatial_dims,
         )
     if kind == "gauss":
         return GaussNet(
-            input_channels=input_channels, width=width, x_like=x_like, std_init=std_init
+            input_channels=input_channels, width=width, x_like=x_like,
+            std_init=std_init, spatial_dims=spatial_dims,
         )
     if kind == "dmol":
+        if spatial_dims != 2:
+            raise NotImplementedError("DMoL head is RGB-image (2-D) only")
         return DmolNet(input_channels=input_channels, width=width,
                        use_pallas=use_pallas)
     raise NotImplementedError(f"{x_like} not implemented.")

@@ -203,7 +203,10 @@ def init_model_params(cfg: Config, model, rng: jax.Array, host_init: bool = True
     ~2 min for even a tiny model). CPU-init + one device_put is the TPU-native
     pattern.
     """
-    x = jnp.zeros((1, cfg.input_res, cfg.input_res, cfg.input_channels), jnp.float32)
+    x = jnp.zeros(
+        (1,) + (cfg.input_res,) * cfg.spatial_dims + (cfg.input_channels,),
+        jnp.float32,
+    )
     pa = jnp.zeros((1, cfg.context_dim), jnp.float32)
     p_rng, s_rng = jax.random.split(rng)
     cpu = None

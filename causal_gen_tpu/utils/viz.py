@@ -28,8 +28,12 @@ TEMPS = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]
 
 
 def _postprocess(x: jnp.ndarray) -> np.ndarray:
-    """[-1,1] NHWC -> uint8 [0,255] on host."""
-    return np.asarray((np.asarray(x) + 1.0) * 127.5).astype(np.uint8)
+    """[-1,1] NHWC -> uint8 [0,255] on host. 3-D volumes (NDHWC) are
+    rendered as their middle-depth slice."""
+    arr = np.asarray(x)
+    if arr.ndim == 5:
+        arr = arr[:, arr.shape[1] // 2]
+    return ((arr + 1.0) * 127.5).astype(np.uint8)
 
 
 def make_cf_parents(cfg: Config, pa: np.ndarray, shuffled_pa: np.ndarray) -> np.ndarray:
@@ -53,6 +57,9 @@ def make_cf_parents(cfg: Config, pa: np.ndarray, shuffled_pa: np.ndarray) -> np.
         assert d == 20
         cf_pa[:10, :10] = np.eye(10)  # each digit
         cf_pa[10:, 10:] = np.eye(10)  # each colour
+    elif "vol3d" in cfg.name:
+        cf_pa[0, 0] = shuffled_pa[0]  # random radius
+        cf_pa[1, 1] = shuffled_pa[1]  # random intensity
     else:
         raise NotImplementedError(cfg.name)
     return cf_pa
@@ -104,7 +111,8 @@ def write_images(
     if x.dtype == jnp.float32 and float(jnp.max(jnp.abs(x))) > 1.5:
         x = (x - 127.5) / 127.5
     pa = jnp.asarray(batch["pa"], jnp.float32)
-    bs, h, w, c = x.shape
+    bs, c = x.shape[0], x.shape[-1]
+    h, w = x.shape[-3], x.shape[-2]  # display dims (3-D: mid-depth slice)
 
     abduct = _jitted(model, "abduct", lambda m: lambda p, k, x_, pa_: m.apply(
         {"params": p}, x_, pa_, method=m.abduct, rngs={"sample": k}))
