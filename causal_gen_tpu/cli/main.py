@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="lax.scan decoder runs (faster big-config compiles)")
     p.add_argument("--remat", action="store_true", default=None,
                    help="rematerialize blocks (stage-level with --stage_scan)")
+    p.add_argument("--remat_min_res", type=int,
+                   help="only remat blocks at res >= this (high-res stages "
+                        "carry the activation memory; skipping low-res "
+                        "recompute is faster at the same HBM footprint)")
     p.add_argument("--width_multiple", type=int,
                    help="round conv widths up to a lane-friendly multiple")
     p.add_argument("--steps_per_call", type=int,

@@ -137,6 +137,12 @@ class Config:
     dtype: str = "float32"  # activations dtype for conv stacks
     use_pallas: bool = False  # fuse hot elementwise chains with Pallas kernels
     remat: bool = False  # rematerialize conv blocks (memory <-> FLOPs trade)
+    # selective remat: only rematerialize blocks at resolution >= this.
+    # Activation memory scales with res^2 * width (the 192^2/96^2 stages of
+    # ukbb192 dominate it), so checkpointing ONLY the high-res stages keeps
+    # nearly all of remat's memory win while skipping the recompute of the
+    # FLOPs-heavy low-res stages. 0 = remat everything (round-1 behavior).
+    remat_min_res: int = 0
     # lax.scan over runs of same-shaped decoder blocks: one traced/compiled
     # body per run instead of a full Python unroll, cutting big-config
     # compile times; param layout changes (stacked leading axis) — see

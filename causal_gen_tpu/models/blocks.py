@@ -101,28 +101,34 @@ class Encoder(nn.Module):
     version: Optional[str] = None
     dtype: Optional[Any] = None
     remat: bool = False  # nn.remat each block (jax.checkpoint)
+    remat_min_res: int = 0  # only remat blocks at res >= this (see Config)
     spatial_dims: int = 2
 
     def setup(self):
-        BlockCls = nn.remat(Block) if self.remat else Block
-        # flatten stage spec into per-block (width, down_rate) like vae.py:111-113
+        # flatten stage spec into per-block (width, down_rate, res) like
+        # vae.py:111-113; res is the block's input resolution (stage res)
         flat = []
         stem_width, stem_stride = self.widths[0], 1
         for i, stage in enumerate(self.stages):
             if i == 0 and stage.n_blocks == 0 and stage.down_rate is None:
                 stem_width, stem_stride = self.widths[1], 2
                 continue
-            flat += [(self.widths[i], None) for _ in range(stage.n_blocks)]
+            flat += [(self.widths[i], None, stage.res) for _ in range(stage.n_blocks)]
             if stage.down_rate is not None:
-                flat += [(self.widths[i + 1], stage.down_rate)]
+                flat += [(self.widths[i + 1], stage.down_rate, stage.res)]
         self._flat = tuple(flat)
         nd = self.spatial_dims
         self.stem = nn.Conv(stem_width, (7,) * nd, strides=(stem_stride,) * nd,
                             padding=3, dtype=self.dtype)
         blocks = []
         n = len(flat)
-        for i, (width, d) in enumerate(flat):
+        for i, (width, d, res) in enumerate(flat):
             prev_width = flat[max(0, i - 1)][0]
+            BlockCls = (
+                nn.remat(Block)
+                if self.remat and res >= self.remat_min_res
+                else Block
+            )
             blocks.append(
                 BlockCls(
                     in_width=prev_width,

@@ -44,6 +44,19 @@ def _bcast_pa(pa: Array, like: Array) -> Array:
     return jnp.broadcast_to(pa.reshape((b,) + (1,) * nd + (c,)), shape)
 
 
+def _cat(parts: Sequence[Array], dtype: Optional[Any]) -> Array:
+    """Concatenate conv inputs in the block's COMPUTE dtype.
+
+    Mixed f32/bf16 operands (f32 pa broadcasts, f32 latent samples, bf16
+    hidden states) otherwise promote the whole concatenation to f32 — a
+    materialized full-res f32 buffer that the following conv immediately
+    re-converts to bf16. Pre-casting each operand is bit-identical to the
+    conv's own input cast and halves the concat's HBM traffic."""
+    if dtype is not None:
+        parts = [p.astype(dtype) for p in parts]
+    return jnp.concatenate(parts, axis=-1)
+
+
 class DecoderBlock(nn.Module):
     """Top-down stochastic block (reference vae.py:137-192)."""
 
@@ -110,7 +123,7 @@ class DecoderBlock(nn.Module):
         self, z: Array, pa: Optional[Array] = None, t: Optional[float] = None
     ) -> Tuple[Array, Array, Array]:
         if self.cond_prior:
-            z = jnp.concatenate([z, _bcast_pa(pa, z)], axis=-1)
+            z = _cat([z, _bcast_pa(pa, z)], self.dtype)
         z = self.prior(z)
         stats32 = z[..., : 2 * self.z_dim].astype(jnp.float32)
         p_loc = stats32[..., : self.z_dim]
@@ -123,7 +136,7 @@ class DecoderBlock(nn.Module):
     def forward_posterior(
         self, z: Array, x: Array, pa: Array, t: Optional[float] = None
     ) -> Tuple[Array, Array]:
-        h = jnp.concatenate([z, _bcast_pa(pa, z), x], axis=-1)
+        h = _cat([z, _bcast_pa(pa, z), x], self.dtype)
         out = self.posterior(h).astype(jnp.float32)
         q_loc, q_logscale = jnp.split(out, 2, axis=-1)
         if t is not None:
@@ -230,7 +243,15 @@ class DecoderRunCell(nn.Module):
             if act is not None:  # posterior mode (acts given)
                 q_loc, q_logscale = block.forward_posterior(h, act, pa, t=t)
                 z_s = sample_gaussian(self.make_rng("sample"), q_loc, q_logscale)
-                stat["kl"] = gaussian_kl(q_loc, q_logscale, p_loc, p_logscale)
+                # reduce KL over spatial dims AT THE SOURCE: the scan stacks
+                # every per-iteration output, and stacking full-res KL maps
+                # (e.g. f32[8,B,48,48,16]) costs a dynamic-update-slice +
+                # re-slice round trip through HBM per run; the loss only ever
+                # consumes spatial sums (HVAE.__call__)
+                kl_map = gaussian_kl(q_loc, q_logscale, p_loc, p_logscale)
+                stat["kl"] = jnp.sum(
+                    kl_map, axis=tuple(range(1, 1 + self.spatial_dims))
+                )
                 if abduct:
                     if self.cond_prior:
                         stat["z"] = {"z": z_s, "q_loc": q_loc,
@@ -245,16 +266,16 @@ class DecoderRunCell(nn.Module):
         else:
             z_s = p_loc
         h = h + p_feat
-        h = h + block.z_proj(
-            jnp.concatenate([z_s, _bcast_pa(pa, z_s)], axis=-1)
-        )
+        h = h + block.z_proj(_cat([z_s, _bcast_pa(pa, z_s)], self.dtype))
         h = block.conv(h)
-        z_out = z_s
+        # q_correction mode never reads the z carry (p_input is h); cast it
+        # to the carry's stable dtype so the scan carry stays type-uniform
+        z_out = z_s.astype(z.dtype)
         if not self.q_correction:
             # z independent of pa for the next prior (vae.py:297-300); on the
             # model's final block this is dead compute the unrolled path
             # skips, but uniformity is what makes the run scannable
-            z_out = block.z_feat_proj(jnp.concatenate([z_s, p_feat], axis=-1))
+            z_out = block.z_feat_proj(_cat([z_s, p_feat], self.dtype))
         return (h, z_out), stat
 
 
@@ -286,7 +307,8 @@ class Decoder(nn.Module):
                 version=cfg.block_version,
                 n_blocks=n,
                 dtype=dtype,
-                remat=cfg.remat and not cfg.stage_scan,
+                remat=(cfg.remat and not cfg.stage_scan
+                       and res >= cfg.remat_min_res),
                 spatial_dims=nd,
                 name=name,
             )
@@ -301,7 +323,7 @@ class Decoder(nn.Module):
                     start, length = elem[1], elem[2]
                     res, width = stages[start]
                     Cell = DecoderRunCell
-                    if cfg.remat:
+                    if cfg.remat and res >= cfg.remat_min_res:
                         # t/abduct are static python values (indices count
                         # self as arg 0 under flax's remat wrapping)
                         Cell = nn.remat(Cell, static_argnums=(7, 8))
@@ -333,6 +355,7 @@ class Decoder(nn.Module):
             self._layout = tuple(("single", i) for i in range(n))
             self.blocks = [make_block(i) for i in range(n)]
         self._stages = tuple(stages)
+        self._dtype = dtype  # compute dtype of the residual stream (None=f32)
         # per-resolution learned biases (reference vae.py:211-218)
         all_res = sorted(set(r for r, _ in stages))
         self._bias_res = tuple(r for i, r in enumerate(all_res) if r <= cfg.bias_max_res)
@@ -346,7 +369,10 @@ class Decoder(nn.Module):
     def _bias_at(self, res: int) -> Optional[Array]:
         for r, b in zip(self._bias_res, self.bias):
             if r == res:
-                return b
+                # bias params are f32 masters; hand them out in the compute
+                # dtype so `bias + upsample(h)` does not promote the whole
+                # bf16 residual stream back to f32 (2x HBM traffic at 192^2)
+                return b if self._dtype is None else b.astype(self._dtype)
         return None
 
     def _drop_cond(self) -> Tuple[Array, Array]:
@@ -413,6 +439,8 @@ class Decoder(nn.Module):
                 else:
                     z = sample_gaussian(self.make_rng("sample"), q_loc, q_logscale)
                     kl = gaussian_kl(q_loc, q_logscale, p_loc, p_logscale)
+                # spatial-sum at the source (see DecoderRunCell.__call__)
+                kl = jnp.sum(kl, axis=tuple(range(1, 1 + cfg.spatial_dims)))
                 stat: Dict[str, Any] = dict(kl=kl)
                 if abduct:
                     if block.cond_prior:  # z* needs q stats (vae.py:271-276)
@@ -433,12 +461,12 @@ class Decoder(nn.Module):
             z = p_loc
 
         h = h + p_feat
-        h = h + block.z_proj(jnp.concatenate([z, _bcast_pa(pa, z)], axis=-1))
+        h = h + block.z_proj(_cat([z, _bcast_pa(pa, z)], block.dtype))
         h = block.conv(h)
 
         if not block.q_correction and (i + 1) < len(self._stages):
             # z independent of pa for the next prior (vae.py:297-300)
-            z = block.z_feat_proj(jnp.concatenate([z, p_feat], axis=-1))
+            z = block.z_feat_proj(_cat([z, p_feat], block.dtype))
         return h, z
 
     def __call__(
@@ -556,6 +584,7 @@ class HVAE(nn.Module):
             version=cfg.block_version,
             dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else None,
             remat=cfg.remat,
+            remat_min_res=cfg.remat_min_res,
             spatial_dims=cfg.spatial_dims,
         )
         self.decoder = Decoder(cfg=cfg)
@@ -572,20 +601,18 @@ class HVAE(nn.Module):
         acts = self.encoder(x)
         h, stats = self.decoder(parents=parents, acts=acts, train=train)
         nll_pp = self.likelihood.nll(h.astype(jnp.float32), x)
-        sp_axes = tuple(range(1, 1 + self.cfg.spatial_dims))  # spatial only
-        all_axes = sp_axes + (1 + self.cfg.spatial_dims,)  # spatial + channel
+        # per-block KL arrives spatially pre-summed as (B, z_dim) — reduced at
+        # the sampling site so scan runs never stack full-res KL maps
         if self.free_bits > 0:
             kl_pp = 0.0
             for stat in stats:
                 kl_pp += jnp.sum(
-                    jnp.maximum(
-                        self.free_bits, jnp.mean(jnp.sum(stat["kl"], axis=sp_axes), axis=0)
-                    )
+                    jnp.maximum(self.free_bits, jnp.mean(stat["kl"], axis=0))
                 )
         else:
             kl_pp = jnp.zeros_like(nll_pp)
             for stat in stats:
-                kl_pp += jnp.sum(stat["kl"], axis=all_axes)
+                kl_pp += jnp.sum(stat["kl"], axis=1)
         kl_pp = kl_pp / math.prod(x.shape[1:])  # per pixel
         kl_pp = jnp.mean(kl_pp)
         nll_pp = jnp.mean(nll_pp)

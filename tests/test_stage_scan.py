@@ -166,3 +166,83 @@ class TestScanTraining:
 
         g = step(params, jax.random.PRNGKey(0))
         assert np.isfinite(float(jax.tree.leaves(g)[0].sum()))
+
+
+class TestSelectiveRemat:
+    """remat_min_res gates which stages rematerialize; it must not change
+    the math or the param tree (checkpoints stay interchangeable)."""
+
+    def _value_and_gnorm(self, cfg):
+        model = HVAE(cfg=cfg)
+        params = init_params(cfg, model)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (cfg.bs, 16, 16, 1),
+                               minval=-1, maxval=1)
+        pa = jax.random.normal(jax.random.PRNGKey(2), (cfg.bs, cfg.context_dim))
+
+        @jax.jit
+        def vg(p, k):
+            return jax.value_and_grad(
+                lambda q: model.apply({"params": q}, x, pa, train=True,
+                                      rngs={"sample": k})["elbo"]
+            )(p)
+
+        val, grads = vg(params, jax.random.PRNGKey(1))
+        gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads))
+        return params, float(val), gnorm
+
+    def test_partial_remat_matches_full_remat(self):
+        for extra in ({}, {"stage_scan": True}):
+            p_full, v_full, g_full = self._value_and_gnorm(
+                small_cfg(remat=True, **extra))
+            p_sel, v_sel, g_sel = self._value_and_gnorm(
+                small_cfg(remat=True, remat_min_res=8, **extra))
+            p_off, v_off, g_off = self._value_and_gnorm(small_cfg(**extra))
+            # identical param structure (checkpoint compatibility)
+            assert (jax.tree_util.tree_structure(p_full)
+                    == jax.tree_util.tree_structure(p_sel)
+                    == jax.tree_util.tree_structure(p_off))
+            np.testing.assert_allclose(v_sel, v_full, rtol=1e-5)
+            np.testing.assert_allclose(v_sel, v_off, rtol=1e-5)
+            np.testing.assert_allclose(g_sel, g_full, rtol=1e-4)
+            np.testing.assert_allclose(g_sel, g_off, rtol=1e-4)
+
+
+class TestBf16Stream:
+    """bf16 compute-dtype configs: the residual stream must stay type-stable
+    through scan carries (incl. the dead z carry in q_correction mode) and
+    produce finite losses/grads."""
+
+    def _step(self, **kw):
+        cfg = small_cfg(dtype="bfloat16", **kw)
+        model = HVAE(cfg=cfg)
+        params = init_params(cfg, model)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (cfg.bs, 16, 16, 1),
+                               minval=-1, maxval=1)
+        pa = jax.random.normal(jax.random.PRNGKey(1), (cfg.bs, cfg.context_dim))
+
+        @jax.jit
+        def vg(p, k):
+            return jax.value_and_grad(
+                lambda q: model.apply({"params": q}, x, pa, train=True,
+                                      rngs={"sample": k})["elbo"]
+            )(p)
+
+        val, grads = vg(params, jax.random.PRNGKey(2))
+        assert np.isfinite(float(val)), val
+        for g in jax.tree.leaves(grads):
+            assert g.dtype == jnp.float32  # f32 master grads
+        assert np.isfinite(float(jax.tree.leaves(grads)[0].sum()))
+        return float(val)
+
+    def test_unrolled(self):
+        self._step()
+
+    def test_stage_scan_remat(self):
+        self._step(stage_scan=True, remat=True)
+
+    def test_q_correction_scan_carry(self):
+        # dead z carry in q_correction mode must keep a uniform scan dtype
+        self._step(stage_scan=True, q_correction=True)
+
+    def test_cond_prior_scan(self):
+        self._step(stage_scan=True, cond_prior=True, cond_drop_from=10)

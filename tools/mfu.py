@@ -44,6 +44,7 @@ def main() -> None:
     p.add_argument("--z_max_res", type=int, default=None)
     p.add_argument("--stage_scan", action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat_min_res", type=int, default=None)
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--dtype", default=None)
     p.add_argument("--x_like", default=None,
@@ -56,7 +57,7 @@ def main() -> None:
     args = p.parse_args()
 
     kw = dict(bs=args.bs, accu_steps=1)
-    for k in ("beta", "z_max_res", "dtype", "x_like"):
+    for k in ("beta", "z_max_res", "dtype", "x_like", "remat_min_res"):
         v = getattr(args, k)
         if v is not None:
             kw[k] = v
