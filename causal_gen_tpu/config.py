@@ -126,6 +126,14 @@ class Config:
     context_norm: str = "log_standard"  # "[-1,1]" | "[0,1]" | "log_standard"
     corrupt_p: float = 0.0  # cmnist label-corruption fraction (datasets.py:325)
     q_correction: bool = False
+    # init scale of each posterior head's last conv. The reference leaves it
+    # at the default init (vae.py only zero-inits the PRIOR head, :308); 1.0
+    # reproduces that. 0.0 zero-inits the posterior too, so q == p == N(0,1)
+    # at init and the initial KL is exactly 0 — the 3-D volumetric stack
+    # needs this: with 27-tap convs and no normalization, some init draws
+    # otherwise land at init KL ~80 nats/voxel and every update trips the
+    # grad_skip gate (run deadlocks at init).
+    posterior_init_scale: float = 1.0
     # block body variant: "gelu6" (4-conv GELU body) or "light" (2-conv ReLU,
     # lower memory; reference vae.py:49-68 keys this off the dataset name)
     block_version: Optional[str] = None
@@ -312,6 +320,10 @@ register(
     dec_arch="1b2,4b2,8b2,16b2,32b2",
     widths=(8, 16, 32, 48, 64),
     block_version="light",  # 2-conv body: 3-D convs are 3x the taps
+    # zero-init posterior heads: q == p == N(0,1) at init so initial KL is 0.
+    # Without it some init draws start at ~80 nats/voxel KL and every update
+    # trips grad_skip (measured; see Config.posterior_init_scale)
+    posterior_init_scale=0.0,
     parents_x=("radius", "intensity"),
     context_dim=2,
     context_norm="[-1,1]",

@@ -74,6 +74,7 @@ class DecoderBlock(nn.Module):
     dtype: Optional[Any] = None  # conv compute dtype (bf16 -> MXU full rate)
     remat: bool = False  # rematerialize the conv bodies (jax.checkpoint)
     spatial_dims: int = 2
+    posterior_scale: float = 1.0  # see Config.posterior_init_scale
 
     def setup(self):
         BlockCls = nn.remat(Block) if self.remat else Block
@@ -100,6 +101,7 @@ class DecoderBlock(nn.Module):
                 kernel_size=k,
                 residual=False,
                 version=self.version,
+                last_scale=self.posterior_scale,
                 dtype=self.dtype,
                 spatial_dims=nd,
             )
@@ -214,6 +216,7 @@ class DecoderRunCell(nn.Module):
     n_blocks: int
     dtype: Optional[Any] = None
     spatial_dims: int = 2
+    posterior_scale: float = 1.0
 
     def setup(self):
         self.block = DecoderBlock(
@@ -230,6 +233,7 @@ class DecoderRunCell(nn.Module):
             n_blocks=self.n_blocks,
             dtype=self.dtype,
             spatial_dims=self.spatial_dims,
+            posterior_scale=self.posterior_scale,
             name="block",
         )
 
@@ -310,6 +314,7 @@ class Decoder(nn.Module):
                 remat=(cfg.remat and not cfg.stage_scan
                        and res >= cfg.remat_min_res),
                 spatial_dims=nd,
+                posterior_scale=cfg.posterior_init_scale,
                 name=name,
             )
 
@@ -348,6 +353,7 @@ class Decoder(nn.Module):
                         n_blocks=n,
                         dtype=dtype,
                         spatial_dims=nd,
+                        posterior_scale=cfg.posterior_init_scale,
                         name=f"run_{start}",
                     ))
             self.elems = mods
