@@ -29,7 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--max_batches", type=int, default=None,
                    help="cap batches/epoch (smoke runs)")
-    p.add_argument("--epochs", type=int, default=5000)
+    # None so a resume can distinguish "flag passed" from the default;
+    # fresh runs fall back to 5000 (reference train_cf.py epoch budget)
+    p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--bs", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--lr_lagrange", type=float, default=1e-2)
@@ -38,7 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lmbda_init", type=float, default=0.0)
     p.add_argument("--damping", type=float, default=100.0)
     p.add_argument("--do_pa", default=None)
-    p.add_argument("--eval_freq", type=int, default=1)
+    p.add_argument("--eval_freq", type=int, default=None)  # fresh default 1
     p.add_argument("--cf_particles", type=int, default=1)
     p.add_argument("--elbo_constraint", type=float, default=None,
                    help="eps; defaults to the stored best valid ELBO of the "
@@ -92,6 +94,7 @@ def main(argv: Optional[list] = None) -> None:
         init_cf_state,
         cf_state_payload,
         load_cf_checkpoint,
+        load_cf_meta,
         make_cf_eval_step,
         make_cf_train_step,
     )
@@ -121,10 +124,10 @@ def main(argv: Optional[list] = None) -> None:
         else float(vae_extra.get("best_loss", 0.0))
     )
     cfg = CFConfig(
-        seed=args.seed, epochs=args.epochs, bs=args.bs, lr=args.lr,
+        seed=args.seed, epochs=args.epochs or 5000, bs=args.bs, lr=args.lr,
         lr_lagrange=args.lr_lagrange, ema_rate=args.ema_rate, alpha=args.alpha,
         lmbda_init=args.lmbda_init, damping=args.damping, do_pa=args.do_pa,
-        eval_freq=args.eval_freq, cf_particles=args.cf_particles,
+        eval_freq=args.eval_freq or 1, cf_particles=args.cf_particles,
         beta=vae_cfg.beta, grad_clip=vae_cfg.grad_clip,
         grad_skip=vae_cfg.grad_skip, wd=vae_cfg.wd, betas=vae_cfg.betas,
         elbo_constraint=eps,
@@ -142,16 +145,28 @@ def main(argv: Optional[list] = None) -> None:
     ckpt_writer = AsyncCheckpointWriter(save_dir)
 
     frozen = {"pgm": pgm_state.ema_params, "predictor": pred_state.ema_params}
-    state = None
+    resume_path = ""
     start_epoch = 1
     if args.resume and os.path.exists(args.resume + ".meta.json"):
         # resume with both optimizer states (reference train_cf.py:460-471);
         # the checkpoint's config is authoritative (incl. morph weights +
-        # stored thickness calibration)
-        cfg, state, extra = load_cf_checkpoint(args.resume)
+        # stored thickness calibration). The arrays are restored further
+        # down, once a template state exists (optax NamedTuple structure).
+        resume_path = args.resume
+        cfg, extra = load_cf_meta(resume_path)
         start_epoch = int(extra.get("epoch", 0)) + 1
+        # run-control fields stay CLI-overridable on resume (the checkpoint's
+        # own epoch budget would otherwise make extending a run a no-op);
+        # model-defining fields remain checkpoint-authoritative
+        run_overrides = {
+            k: v for k, v in (
+                ("epochs", args.epochs), ("eval_freq", args.eval_freq),
+            ) if v is not None
+        }
+        if run_overrides:
+            cfg = dataclasses.replace(cfg, **run_overrides)
         logger = setup_logging(save_dir)
-        logger.info("resumed from %s at epoch %d", args.resume, start_epoch)
+        logger.info("resuming from %s at epoch %d", resume_path, start_epoch)
 
     # data comes from the PGM's variable set, not the VAE's (the DAG may
     # need attrs the VAE never sees, e.g. UKBB age; reference
@@ -186,8 +201,9 @@ def main(argv: Optional[list] = None) -> None:
         intensity_weight=cfg.intensity_weight,
         thickness_calib=tuple(cfg.thickness_calib),
     )
-    if state is None:
-        state = init_cf_state(cfg, dscm, vae_state.ema_params)
+    state = init_cf_state(cfg, dscm, vae_state.ema_params)
+    if resume_path:
+        _, state, _ = load_cf_checkpoint(resume_path, template_state=state)
     train_step = make_cf_train_step(cfg, dscm, frozen)
     eval_step = make_cf_eval_step(cfg, dscm, frozen)
     rng = jax.random.PRNGKey(cfg.seed)

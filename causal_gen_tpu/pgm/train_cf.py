@@ -275,7 +275,28 @@ def save_cf_checkpoint(path: str, cfg: CFConfig, state: CFTrainState,
                   f, indent=2, default=str)
 
 
-def load_cf_checkpoint(path: str) -> Tuple[CFConfig, CFTrainState, Dict[str, Any]]:
+def load_cf_meta(path: str) -> Tuple[CFConfig, Dict[str, Any]]:
+    """Config + extra from a CF checkpoint's sidecar, without the arrays."""
+    import json
+    import os
+
+    with open(os.path.abspath(path) + ".meta.json") as f:
+        meta = json.load(f)
+    d = {k: tuple(v) if isinstance(v, list) else v
+         for k, v in meta["config"].items()}
+    return CFConfig(**d), meta.get("extra", {})
+
+
+def load_cf_checkpoint(
+    path: str, template_state: Optional[CFTrainState] = None
+) -> Tuple[CFConfig, CFTrainState, Dict[str, Any]]:
+    """Restore a CF checkpoint.
+
+    ``template_state`` (a freshly built CFTrainState from init_cf_state)
+    restores the optimizer pytrees with their optax NamedTuple structure
+    intact — without it orbax returns raw dicts and opt.update crashes on
+    resume (same template pattern as cli/main.py's HVAE resume).
+    """
     import json
     import os
 
@@ -287,7 +308,12 @@ def load_cf_checkpoint(path: str) -> Tuple[CFConfig, CFTrainState, Dict[str, Any
     d = {k: tuple(v) if isinstance(v, list) else v
          for k, v in meta["config"].items()}
     cfg = CFConfig(**d)
-    p = ocp.PyTreeCheckpointer().restore(path)
+    if template_state is not None:
+        p = ocp.PyTreeCheckpointer().restore(
+            path, item=cf_state_payload(template_state)
+        )
+    else:
+        p = ocp.PyTreeCheckpointer().restore(path)
     state = CFTrainState(
         step=jnp.asarray(p["step"], jnp.int32),
         ema_updates=jnp.asarray(p["ema_updates"], jnp.int32),
