@@ -179,3 +179,56 @@ class TestCFCheckpoint:
         )
         assert all(jax.tree.leaves(same))
         assert float(state2.trainable["lmbda"][0]) == 0.5
+
+    def test_resume_restores_optimizer_structure(self, tmp_path):
+        # regression: restoring WITHOUT a template gives raw dicts for the
+        # two optax states and opt.update crashes on the first resumed step
+        # (fixed by load_cf_checkpoint(template_state=...), the pattern the
+        # HVAE resume already used)
+        from causal_gen_tpu.data.loader import Loader
+        from causal_gen_tpu.pgm.train_cf import (
+            CFConfig,
+            cf_train_epoch,
+            init_cf_state,
+            load_cf_checkpoint,
+            load_cf_meta,
+            make_cf_train_step,
+            save_cf_checkpoint,
+        )
+        from causal_gen_tpu.pgm.train_pgm import PGMConfig
+        from tests.test_dscm import build_dscm, synth_morpho_dataset
+
+        dscm, vae_params, frozen, _ = build_dscm(res=16)
+        cf_cfg = CFConfig(bs=8, epochs=1, elbo_constraint=1.8)
+        pgm_cfg = PGMConfig(dataset="morphomnist", bs=8, input_res=16)
+        ds = synth_morpho_dataset(n=16, res=16)
+        loader = Loader(ds, 8, seed=0, concat_pa=False)
+
+        state = init_cf_state(cf_cfg, dscm, vae_params)
+        step = make_cf_train_step(cf_cfg, dscm, frozen, donate=False)
+        host_rng = np.random.default_rng(0)
+        state, _ = cf_train_epoch(
+            cf_cfg, pgm_cfg, dscm, state, frozen, loader, step,
+            jax.random.PRNGKey(0), 1, host_rng,
+        )
+        path = str(tmp_path / "cf_ckpt")
+        save_cf_checkpoint(path, cf_cfg, state, extra={"epoch": 1})
+
+        # sidecar-only read (what the CLI uses before the template exists)
+        meta_cfg, extra = load_cf_meta(path)
+        assert extra["epoch"] == 1 and meta_cfg.elbo_constraint == 1.8
+
+        template = init_cf_state(cf_cfg, dscm, vae_params)
+        _, restored, _ = load_cf_checkpoint(path, template_state=template)
+        # optax NamedTuple structure preserved -> a further step must run
+        assert (jax.tree_util.tree_structure(restored.opt_state)
+                == jax.tree_util.tree_structure(template.opt_state))
+        restored, stats = cf_train_epoch(
+            cf_cfg, pgm_cfg, dscm, restored, frozen, loader, step,
+            jax.random.PRNGKey(1), 2, host_rng,
+        )
+        assert np.isfinite(stats["loss"])
+        # every batch was attempted post-resume (the tiny synthetic model may
+        # grad-skip, so count step + skipped rather than step alone)
+        assert (int(restored.step) + int(restored.skipped)
+                == int(state.step) + int(state.skipped) + len(loader))
