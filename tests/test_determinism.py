@@ -4,6 +4,9 @@ counterfactual images through the merged DSCM (BASELINE.json requirement)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy jit compiles; quick pass: -m 'not slow'
 
 from tests.test_dscm import build_dscm, synth_batch
 

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy jit compiles; quick pass: -m 'not slow'
+
 from causal_gen_tpu.config import get_config
 from causal_gen_tpu.models.hvae import HVAE
 from causal_gen_tpu.train.state import init_train_state
@@ -142,7 +144,6 @@ class TestVol3DDataset:
         assert b["pa"].min() >= -1.001 and b["pa"].max() <= 1.001
 
 
-@pytest.mark.slow
 class TestSharded3D:
     def test_eval_matches_under_data_space_sharding(self, tiny3d):
         """(data, space)-sharded forward == unsharded forward: GSPMD inserts

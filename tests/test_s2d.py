@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy jit compiles; quick pass: -m 'not slow'
+
 from causal_gen_tpu.ops.s2d import (
     pack_kernel_1x1,
     pack_kernel_3x3,

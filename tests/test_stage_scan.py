@@ -9,6 +9,9 @@ stacked run params).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy jit compiles; quick pass: -m 'not slow'
 
 from causal_gen_tpu.config import get_config
 from causal_gen_tpu.models.hvae import (
