@@ -142,9 +142,20 @@ def main(argv: Optional[list] = None) -> None:
     steps_per_epoch = max(1, len(loaders["train"]))
     viz_epoch_freq = max(1, round(cfg.viz_freq / steps_per_epoch)) if cfg.viz_freq else 0
 
+    # early-eval doubling cadence (reference trainer.py:89-91,124): extra viz
+    # at iterations {start+1, start+2^n for n in 3..13} so samples appear
+    # early in a fresh/resumed run. Our loop dispatches whole epochs, so an
+    # epoch qualifies when any early iteration falls inside it.
+    start_iter = int(init_state.step) if init_state is not None else 0
+    early_iters = {start_iter + 1} | {start_iter + 2**n for n in range(3, 14)}
+
+    def _is_early(epoch: int) -> bool:
+        lo, hi = (epoch - 1) * steps_per_epoch, epoch * steps_per_epoch
+        return any(lo < it <= hi for it in early_iters)
+
     def callback(epoch, state, history):
         writer.add_scalars(history, epoch)
-        if viz_epoch_freq and epoch % viz_epoch_freq == 0:
+        if viz_epoch_freq and (epoch % viz_epoch_freq == 0 or _is_early(epoch)):
             try:
                 write_images(
                     cfg, model, state.ema_params, viz_batch,

@@ -272,3 +272,43 @@ class TestDSCMCondPrior:
         out = dscm.forward(trainable, frozen, batch, do, jax.random.PRNGKey(0))
         assert np.isfinite(float(out["loss"]))
         assert out["cfs"]["x"].shape == batch["x"].shape
+
+
+class TestDenseInterventionNoRetrace:
+    def test_one_compile_for_all_do_patterns(self):
+        """dense_intervention's one-XLA-program claim, pinned: compile the CF
+        train step once, then sweep EVERY do-pattern (each DAG variable,
+        multi-variable, and the null intervention) and assert the jit cache
+        never grows. Guards against a shape/static-arg leak silently
+        reintroducing the reference's compile-per-pattern hazard
+        (train_cf.py:145-153)."""
+        from causal_gen_tpu.pgm.train_cf import (
+            CFConfig,
+            dense_intervention,
+            init_cf_state,
+            make_cf_train_step,
+        )
+
+        dscm, vae_params, frozen, cfg = build_dscm()
+        batch = synth_batch()
+        dag_vars = tuple(dscm.pgm.dag_variables.keys())
+        attrs = {k: batch[k] for k in dag_vars}
+        cf_cfg = CFConfig(lr=1e-4, grad_skip=1e9, elbo_constraint=1.8)
+        state = init_cf_state(cf_cfg, dscm, vae_params)
+        # donate=False so the input state stays alive across patterns
+        step = make_cf_train_step(cf_cfg, dscm, frozen, donate=False)
+
+        rng = np.random.default_rng(0)
+        patterns = [{k: attrs[k][rng.permutation(8)]} for k in dag_vars]
+        patterns.append(
+            {k: attrs[k][rng.permutation(8)] for k in dag_vars[:2]}
+        )
+        patterns.append({})  # null intervention
+        for i, do in enumerate(patterns):
+            dov, dom = dense_intervention(dag_vars, attrs, do)
+            state, m = step(state, batch, dov, dom, jax.random.PRNGKey(i))
+            assert np.isfinite(float(m["loss"]))
+        assert step._cache_size() == 1, (
+            f"CF step retraced: {step._cache_size()} compiled variants for "
+            f"{len(patterns)} do-patterns"
+        )
