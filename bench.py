@@ -1,13 +1,21 @@
 #!/usr/bin/env python
-"""Benchmark: HVAE train step throughput (images/sec/chip) on Morpho-MNIST.
+"""Benchmark: HVAE train throughput + counterfactual (abduct-act-predict)
+throughput on one chip. Prints ONE JSON line:
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+  {"metric": "hvae_train_images_per_sec_per_chip", "value": N,
+   "unit": "images/sec", "vs_baseline": N, ...,
+   "counterfactuals_per_sec": {...}, "cpu_measured": {...}}
 
-Baseline: the reference repo publishes no throughput numbers (BASELINE.md);
-the self-measured anchor is the reference PyTorch morphomnist HVAE config on
-1x Tesla T4. Until a like-for-like reference run exists, vs_baseline is
-computed against REFERENCE_IMG_PER_SEC below (estimate of the reference
-single-GPU pipeline; update when measured).
+Baselines (see BASELINE.md):
+  - vs_baseline divides by REFERENCE_IMG_PER_SEC, an ESTIMATE of the
+    reference PyTorch pipeline on its own hardware (1x Tesla T4) — the repo
+    publishes no numbers and no GPU exists on this host, so that anchor
+    cannot be measured here. baseline_source says so explicitly.
+  - cpu_measured is a MEASURED same-host anchor: the reference torch model
+    vs this framework, both on this host's CPU, identical protocol
+    (tools/bench_reference_cpu.py; constants below are its committed output,
+    re-runnable any time). It is a secondary anchor (CPU, not TPU-vs-T4) but
+    it is a real measured ratio.
 """
 
 from __future__ import annotations
@@ -26,12 +34,53 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-# Self-measured reference anchor (PyTorch T4, morphomnist HVAE bs=32).
-# Placeholder estimate until the reference is profiled like-for-like.
+# Reference anchor (PyTorch T4, morphomnist HVAE bs=32): ESTIMATE, see module
+# docstring. The measured same-host CPU anchor is CPU_MEASURED below.
 REFERENCE_IMG_PER_SEC = 700.0
+BASELINE_SOURCE = "estimated (T4 never measured here; see cpu_measured for the measured same-host anchor)"
+
+# Output of tools/bench_reference_cpu.py on this host (1-core CPU,
+# 2026-08-19, bs=32 morphomnist, real t10k data, full train step):
+#   ref : {"img_per_sec_best": 36.96, "img_per_sec_median": 33.71}
+#   ours: {"img_per_sec_best": 7.38, "img_per_sec_median": 4.81}
+# Honest reading: on a 1-core CPU the torch reference beats our XLA:CPU
+# build 5x — this framework's compute path is designed for the TPU (where
+# it runs 9,800+ img/s); XLA:CPU is not a target. Recorded so the bench
+# JSON carries at least one fully measured same-host ratio (BASELINE.md).
+CPU_MEASURED = {
+    "ref_torch_img_per_sec": 36.96,
+    "ours_jax_img_per_sec": 7.38,
+    "ours_vs_ref_same_host": 0.2,
+    "host": "1-core CPU, bs=32, tools/bench_reference_cpu.py",
+    "note": "XLA:CPU loses to torch CPU on these tiny convs; TPU is the target backend",
+}
 
 
-def main() -> None:
+def measure_windows(step, iters: int, budget_s: float, max_windows: int = 40,
+                    min_windows: int = 6):
+    """Best/median window timing under a wall-clock budget.
+
+    The attached chip is a shared pool with bursty external load (measured
+    ~3x run-to-run variance, occasional multi-minute freezes). Sample many
+    short windows and report the BEST (approximates uncontended device
+    throughput) plus median and a contention flag, so one frozen window
+    cannot sink the number.
+    """
+    window_dts = []
+    k = 10
+    t_start = time.perf_counter()
+    while len(window_dts) < max_windows:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            step(k)
+            k += 1
+        window_dts.append(time.perf_counter() - t0)
+        if time.perf_counter() - t_start > budget_s and len(window_dts) >= min_windows:
+            break
+    return window_dts
+
+
+def bench_hvae_train(budget_s: float) -> dict:
     from causal_gen_tpu.config import get_config
     from causal_gen_tpu.models.hvae import HVAE
     from causal_gen_tpu.train.state import init_train_state
@@ -49,51 +98,123 @@ def main() -> None:
     pa = np.random.uniform(-1, 1, (1, bs, cfg.context_dim)).astype(np.float32)
     batch = {"x": jnp.asarray(x), "pa": jnp.asarray(pa)}
 
+    holder = {"state": state}
+
+    def step(k):
+        holder["state"], m = train_step(holder["state"], batch, jax.random.fold_in(rng, k))
+        return m
+
     # compile + warmup
-    state, m = train_step(state, batch, jax.random.fold_in(rng, 1))
-    jax.block_until_ready(m)
+    jax.block_until_ready(step(1))
     for i in range(2, 5):
-        state, m = train_step(state, batch, jax.random.fold_in(rng, i))
+        m = step(i)
     jax.block_until_ready(m)
 
-    # The attached chip is a shared pool with bursty external load (measured
-    # ~3x run-to-run variance, with occasional multi-minute freezes). Sample
-    # many short windows under a wall-clock budget and report the BEST window
-    # (approximates uncontended device throughput) alongside the median and a
-    # contention flag, so a single frozen window cannot sink the number.
     iters = 10
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "150"))
-    max_windows = 40
-    window_dts = []
-    k = 10
-    t_start = time.perf_counter()
-    while len(window_dts) < max_windows:
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, m = train_step(state, batch, jax.random.fold_in(rng, k))
-            k += 1
-        jax.block_until_ready(m)
-        window_dts.append(time.perf_counter() - t0)
-        elapsed = time.perf_counter() - t_start
-        if elapsed > budget_s and len(window_dts) >= 6:
-            break
 
-    best_dt = min(window_dts)
-    med_dt = float(np.median(window_dts))
-    img_per_sec = bs * iters / best_dt
-    print(
-        json.dumps(
-            {
-                "metric": "hvae_train_images_per_sec_per_chip",
-                "value": round(img_per_sec, 1),
-                "unit": "images/sec",
-                "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 2),
-                "median_images_per_sec": round(bs * iters / med_dt, 1),
-                "windows": len(window_dts),
-                "pool_contended": bool(med_dt / best_dt > 1.5),
-            }
-        )
-    )
+    def timed(k):
+        m = step(k)
+        if (k + 1) % iters == 0:
+            jax.block_until_ready(m)
+
+    dts = measure_windows(timed, iters, budget_s)
+    best, med = min(dts), float(np.median(dts))
+    return {
+        "metric": "hvae_train_images_per_sec_per_chip",
+        "value": round(bs * iters / best, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(bs * iters / best / REFERENCE_IMG_PER_SEC, 2),
+        "baseline_source": BASELINE_SOURCE,
+        "median_images_per_sec": round(bs * iters / med, 1),
+        "windows": len(dts),
+        "pool_contended": bool(med / best > 1.5),
+    }
+
+
+def bench_counterfactuals(budget_s: float) -> dict:
+    """Full abduct-act-predict throughput (VERDICT r2 item 2).
+
+    One jitted program: PGM exogenous inversion + mutilated forward, HVAE
+    latent abduction, two decoder passes with fixed latents, pixel-noise
+    abduction u=(x-mu)/sigma, cf_x clamp. Engine measured matches reference
+    /root/reference/src/pgm/dscm.py:30-95.
+    """
+    from causal_gen_tpu.config import get_config
+    from causal_gen_tpu.models.hvae import HVAE
+    from causal_gen_tpu.pgm.dscm import DSCM
+    from causal_gen_tpu.pgm.flow_pgm import MorphoMNISTPGM
+    from causal_gen_tpu.train.vae_trainer import init_model_params
+
+    bs = 256
+    cfg = get_config("morphomnist", bs=bs)
+    vae = HVAE(cfg=cfg)
+    rng = jax.random.PRNGKey(0)
+    vae_params = init_model_params(cfg, vae, rng)
+
+    pgm = MorphoMNISTPGM(setup_predictors=False)
+    predictor = MorphoMNISTPGM(setup_predictors=True, input_res=cfg.input_res)
+    obs_attrs = {
+        "thickness": jnp.zeros((bs, 1)),
+        "intensity": jnp.zeros((bs, 1)),
+        "digit": jnp.asarray(np.eye(10, dtype=np.float32)[np.zeros(bs, np.int64)]),
+    }
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        pgm_params = pgm.init({"params": rng, "sample": rng}, obs_attrs)["params"]
+        x0 = jnp.zeros((bs, cfg.input_res, cfg.input_res, 1))
+        pred_params = predictor.init(
+            {"params": rng, "sample": rng}, x0,
+            method=predictor.anticausal_logprob, **obs_attrs,
+        )["params"]
+    dev = jax.devices()[0]
+    pgm_params = jax.device_put(pgm_params, dev)
+    pred_params = jax.device_put(pred_params, dev)
+
+    dscm = DSCM(cfg=cfg, pgm=pgm, predictor=predictor, vae=vae)
+    trainable = dscm.init_trainable(vae_params)
+    frozen = {"pgm": pgm_params, "predictor": pred_params}
+
+    host = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(host.uniform(-1, 1, (bs, 32, 32, 1)), jnp.float32),
+        "thickness": jnp.asarray(host.uniform(-0.8, 0.8, (bs, 1)), jnp.float32),
+        "intensity": jnp.asarray(host.uniform(-0.8, 0.8, (bs, 1)), jnp.float32),
+        "digit": jnp.asarray(np.eye(10, dtype=np.float32)[host.integers(0, 10, bs)]),
+    }
+    do = {"thickness": jnp.full((bs, 1), 0.5)}
+
+    fwd = jax.jit(lambda t, f, b, d, r: dscm.forward(t, f, b, d, r)["cfs"]["x"])
+    out = fwd(trainable, frozen, batch, do, jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+    for i in range(3):
+        out = fwd(trainable, frozen, batch, do, jax.random.fold_in(rng, i))
+    jax.block_until_ready(out)
+
+    iters = 10
+
+    def timed(k):
+        o = fwd(trainable, frozen, batch, do, jax.random.fold_in(rng, k))
+        if (k + 1) % iters == 0:
+            jax.block_until_ready(o)
+
+    dts = measure_windows(timed, iters, budget_s)
+    best, med = min(dts), float(np.median(dts))
+    return {
+        "value": round(bs * iters / best, 1),
+        "unit": "counterfactuals/sec",
+        "median": round(bs * iters / med, 1),
+        "windows": len(dts),
+        "pool_contended": bool(med / best > 1.5),
+        "config": "morphomnist bs=256, 1 particle, do(thickness)",
+    }
+
+
+def main() -> None:
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "150"))
+    result = bench_hvae_train(budget_s)
+    result["counterfactuals_per_sec"] = bench_counterfactuals(min(budget_s, 90.0))
+    result["cpu_measured"] = CPU_MEASURED
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -103,7 +103,7 @@ class TestPGMTraining:
         assert np.isfinite(metrics["thickness_mae"])
 
 
-def build_dscm(res=16):
+def build_dscm(res=16, **cfg_overrides):
     """Tiny merged DSCM on synthetic data."""
     from causal_gen_tpu.models.hvae import HVAE
     from causal_gen_tpu.pgm.dscm import DSCM
@@ -118,6 +118,7 @@ def build_dscm(res=16):
         widths=(8, 8, 16, 16),
         z_dim=4,
         bias_max_res=res,
+        **cfg_overrides,
     )
     vae = HVAE(cfg=cfg)
     vae_params = init_model_params(cfg, vae, jax.random.PRNGKey(0))

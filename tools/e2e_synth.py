@@ -42,7 +42,8 @@ def _disk(res: int, cx: float, cy: float, r: float) -> np.ndarray:
     return ((xx - cx) ** 2 + (yy - cy) ** 2 <= r**2).astype(np.float32)
 
 
-def make_ukbb_tree(root: str, n_per_split: int = 96, seed: int = 0) -> None:
+def make_ukbb_tree(root: str, n_per_split: int = 96, seed: int = 0,
+                   n_train: int = 0) -> None:
     """Brain-MRI-like tree: image = bright disk with radius ~ brain_volume
     and a dark inner disk ~ ventricle_volume; T2 (mri_seq=1) is brighter.
     SCM: sex,age exogenous; bvol = f(sex, age); vvol = f(bvol, age)."""
@@ -54,7 +55,8 @@ def make_ukbb_tree(root: str, n_per_split: int = 96, seed: int = 0) -> None:
     eid = 1000
     for split in ["train", "valid", "test"]:
         rows = []
-        for _ in range(n_per_split):
+        n_split = n_train if (split == "train" and n_train) else n_per_split
+        for _ in range(n_split):
             sex = float(rng.integers(0, 2))
             mri_seq = float(rng.integers(0, 2))
             age = float(rng.uniform(44, 73))
@@ -92,7 +94,8 @@ def make_ukbb_tree(root: str, n_per_split: int = 96, seed: int = 0) -> None:
         )
 
 
-def make_mimic_tree(root: str, n_per_split: int = 96, seed: int = 1) -> None:
+def make_mimic_tree(root: str, n_per_split: int = 96, seed: int = 1,
+                    n_train: int = 0, res: int = 64) -> None:
     """CXR-like tree: background brightness ~ age, a bright square marker if
     finding=1, left-third shading by race, border stripe by sex."""
     import pandas as pd
@@ -103,20 +106,20 @@ def make_mimic_tree(root: str, n_per_split: int = 96, seed: int = 1) -> None:
     i = 0
     for split in ["train", "valid", "test"]:
         rows = []
-        for _ in range(n_per_split):
+        n_split = n_train if (split == "train" and n_train) else n_per_split
+        for _ in range(n_split):
             sex = int(rng.integers(0, 2))
             race = int(rng.integers(0, 3))
             age = float(rng.uniform(20, 90))
             # finding depends on age (reference ChestPGM: finding | age)
             p_f = 1.0 / (1.0 + np.exp(-(age - 55) / 10))
             finding = int(rng.uniform() < p_f)
-            res = 64
             img = np.full((res, res), 60 + age, np.float32)
             img[:, : res // 3] += 15 * race
             if sex:
-                img[:4, :] += 40.0
+                img[: max(4, res // 16), :] += 40.0
             if finding:
-                img[24:40, 24:40] += 70.0
+                img[3 * res // 8 : 5 * res // 8, 3 * res // 8 : 5 * res // 8] += 70.0
             img += rng.normal(0, 5, (res, res))
             fname = f"img_{split}_{i}.png"
             _save_png(os.path.join(root, "data", fname),
@@ -160,43 +163,75 @@ PGM_VARS = dict(
 
 
 def run(dataset: str, root: str, out: str, epochs: int, bs: int,
-        stages: str = "1234") -> None:
+        stages: str = "1234", flagship: bool = False, cf_epochs: int = 1,
+        cf_bs: int = 0, cf_max_batches: int = 3, eval_freq: int = 1,
+        vae_extra=()) -> None:
     from causal_gen_tpu.cli import evaluate as eval_cli
     from causal_gen_tpu.cli import main as vae_cli
     from causal_gen_tpu.cli import train_cf as cf_cli
     from causal_gen_tpu.cli import train_pgm as pgm_cli
 
-    hps = "ukbb64" if dataset == "ukbb" else "mimic192"
+    if flagship:
+        # flagship resolution (VERDICT r2 item 1): the reference's actual
+        # product configs — ukbb192 (run_slurm.sh:22-37: beta=5 z_max_res=96
+        # wd=0.05) and mimic192 (run_slurm.sh:39-52: beta=9) — at full 192²,
+        # registry arch, bf16 + stage_scan + remat.
+        hps = "ukbb192" if dataset == "ukbb" else "mimic192"
+        res = 192
+    else:
+        hps = "ukbb64" if dataset == "ukbb" else "mimic192"
+        res = 64
     vae_dir = os.path.join(out, "vae")
     pgm_dir = os.path.join(out, "pgm")
     aux_dir = os.path.join(out, "aux")
     cf_dir = os.path.join(out, "cf")
 
     if "1" in stages:
-        print(f"== stage 1: HVAE ({hps}, tiny arch) ==", flush=True)
-        _stage1(vae_cli, hps, root, vae_dir, epochs, bs, dataset)
+        arch = "registry arch" if flagship else "tiny arch"
+        print(f"== stage 1: HVAE ({hps}, {arch}) ==", flush=True)
+        _stage1(vae_cli, hps, root, vae_dir, epochs, bs, dataset,
+                flagship, eval_freq, vae_extra)
     if "2" in stages:
-        _stage2(pgm_cli, dataset, root, pgm_dir, aux_dir, epochs, bs)
+        _stage2(pgm_cli, dataset, root, pgm_dir, aux_dir, epochs, bs, res)
     if "3" in stages:
-        _stage3(cf_cli, dataset, root, pgm_dir, aux_dir, vae_dir, cf_dir, bs)
+        _stage3(cf_cli, dataset, root, pgm_dir, aux_dir, vae_dir, cf_dir,
+                cf_bs or min(bs, 16), cf_epochs, cf_max_batches)
     if "4" in stages:
-        _stage4(eval_cli, dataset, root, pgm_dir, aux_dir, vae_dir, bs)
-    print(json.dumps({"e2e": dataset, "status": "ok", "out": out}))
+        _stage4(eval_cli, dataset, root, pgm_dir, aux_dir, vae_dir,
+                cf_bs or bs, cf_dir if "3" in stages or
+                os.path.exists(cf_dir) else "")
+    print(json.dumps({"e2e": dataset, "status": "ok", "out": out,
+                      "flagship": flagship}))
 
 
-def _stage1(vae_cli, hps, root, vae_dir, epochs, bs, dataset):
-    vae_cli.main([
-        "--hps", hps, "--data_dir", root, "--save_dir", vae_dir,
-        "--epochs", str(epochs), "--eval_freq", "1", "--bs", str(bs),
-        "--beta", "1.0", "--dtype", "float32", "--viz_freq", "0",
-        *TINY_ARCH[dataset],
-    ])
+def _stage1(vae_cli, hps, root, vae_dir, epochs, bs, dataset,
+            flagship, eval_freq, vae_extra):
+    if flagship:
+        ref_flags = (
+            ["--beta", "5", "--z_max_res", "96", "--wd", "0.05"]
+            if dataset == "ukbb" else ["--beta", "9"]
+        )
+        argv = [
+            "--hps", hps, "--data_dir", root, "--save_dir", vae_dir,
+            "--epochs", str(epochs), "--eval_freq", str(eval_freq),
+            "--bs", str(bs), "--viz_freq", "0",
+            "--stage_scan", "--remat", "--remat_min_res", "48",
+            *ref_flags,
+        ]
+    else:
+        argv = [
+            "--hps", hps, "--data_dir", root, "--save_dir", vae_dir,
+            "--epochs", str(epochs), "--eval_freq", "1", "--bs", str(bs),
+            "--beta", "1.0", "--dtype", "float32", "--viz_freq", "0",
+            *TINY_ARCH[dataset],
+        ]
+    vae_cli.main(argv + list(vae_extra))
 
 
-def _pgm_common(dataset, root, epochs, bs):
+def _pgm_common(dataset, root, epochs, bs, res):
     common = [
         "--dataset", dataset, "--data_dir", root, "--bs", str(bs),
-        "--input_res", "64", "--epochs", str(4 * epochs), "--lr", "5e-3",
+        "--input_res", str(res), "--epochs", str(4 * epochs), "--lr", "5e-3",
         "--parents_x", *PGM_VARS[dataset],
     ]
     if dataset == "ukbb":
@@ -204,36 +239,44 @@ def _pgm_common(dataset, root, epochs, bs):
     return common
 
 
-def _stage2(pgm_cli, dataset, root, pgm_dir, aux_dir, epochs, bs):
-    common = _pgm_common(dataset, root, epochs, bs)
+def _stage2(pgm_cli, dataset, root, pgm_dir, aux_dir, epochs, bs, res):
+    common = _pgm_common(dataset, root, epochs, bs, res)
     print("== stage 2a: PGM (sup_pgm) ==", flush=True)
     pgm_cli.main(["--setup", "sup_pgm", "--save_dir", pgm_dir, *common])
     print("== stage 2b: predictors (sup_aux) ==", flush=True)
     pgm_cli.main(["--setup", "sup_aux", "--save_dir", aux_dir, *common])
 
 
-def _stage3(cf_cli, dataset, root, pgm_dir, aux_dir, vae_dir, cf_dir, bs):
+def _stage3(cf_cli, dataset, root, pgm_dir, aux_dir, vae_dir, cf_dir, bs,
+            cf_epochs, cf_max_batches):
     print("== stage 3: DSCM counterfactual fine-tuning ==", flush=True)
     do_pa = "brain_volume" if dataset == "ukbb" else "finding"
-    cf_cli.main([
+    argv = [
         "--pgm_path", os.path.join(pgm_dir, "checkpoint"),
         "--predictor_path", os.path.join(aux_dir, "checkpoint"),
         "--vae_path", os.path.join(vae_dir, "checkpoint"),
         "--data_dir", root, "--save_dir", cf_dir,
-        "--epochs", "1", "--bs", str(min(bs, 16)), "--max_batches", "3",
+        "--epochs", str(cf_epochs), "--bs", str(bs),
         "--do_pa", do_pa, "--eval_freq", "1",
-    ])
+    ]
+    if cf_max_batches:
+        argv += ["--max_batches", str(cf_max_batches)]
+    cf_cli.main(argv)
 
 
-def _stage4(eval_cli, dataset, root, pgm_dir, aux_dir, vae_dir, bs):
+def _stage4(eval_cli, dataset, root, pgm_dir, aux_dir, vae_dir, bs,
+            cf_dir=""):
     print("== stage 4: counterfactual effectiveness eval ==", flush=True)
-    eval_cli.main([
+    argv = [
         "--pgm_path", os.path.join(pgm_dir, "checkpoint"),
         "--predictor_path", os.path.join(aux_dir, "checkpoint"),
         "--vae_path", os.path.join(vae_dir, "checkpoint"),
         "--data_dir", root, "--bs", str(bs), "--max_batches", "2",
         "--seeds", "0", "1", "--no_measure",
-    ])
+    ]
+    if cf_dir and os.path.exists(os.path.join(cf_dir, "checkpoint")):
+        argv += ["--cf_path", os.path.join(cf_dir, "checkpoint")]
+    eval_cli.main(argv)
 
 
 def main() -> None:
@@ -242,20 +285,38 @@ def main() -> None:
     p.add_argument("--root", default="")
     p.add_argument("--out", default="")
     p.add_argument("--n", type=int, default=96)
+    p.add_argument("--n_train", type=int, default=0,
+                   help="train-split size override (0 = same as --n)")
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--bs", type=int, default=32)
+    p.add_argument("--flagship", action="store_true",
+                   help="full 192-squared registry configs (ukbb192/mimic192)"
+                        " instead of the tiny 64-squared smoke arch")
+    p.add_argument("--cf_epochs", type=int, default=1)
+    p.add_argument("--cf_bs", type=int, default=0)
+    p.add_argument("--cf_max_batches", type=int, default=3,
+                   help="0 = full epoch")
+    p.add_argument("--eval_freq", type=int, default=1)
+    p.add_argument("--vae_extra", nargs="*", default=[],
+                   help="extra flags forwarded to the stage-1 HVAE CLI")
     p.add_argument("--stages", default="1234",
                    help="subset of stages to run, e.g. '34' to reuse "
                         "existing stage-1/2 checkpoints")
     args = p.parse_args()
-    root = args.root or f"/tmp/synth_{args.dataset}"
-    out = args.out or f"/tmp/e2e_{args.dataset}"
+    suffix = "192" if args.flagship else ""
+    root = args.root or f"/tmp/synth_{args.dataset}{suffix}"
+    out = args.out or f"/tmp/e2e_{args.dataset}{suffix}"
     if not os.path.exists(root):
         print(f"building synthetic {args.dataset} tree at {root}", flush=True)
-        (make_ukbb_tree if args.dataset == "ukbb" else make_mimic_tree)(
-            root, n_per_split=args.n
-        )
-    run(args.dataset, root, out, args.epochs, args.bs, stages=args.stages)
+        if args.dataset == "ukbb":
+            make_ukbb_tree(root, n_per_split=args.n, n_train=args.n_train)
+        else:
+            make_mimic_tree(root, n_per_split=args.n, n_train=args.n_train,
+                            res=192 if args.flagship else 64)
+    run(args.dataset, root, out, args.epochs, args.bs, stages=args.stages,
+        flagship=args.flagship, cf_epochs=args.cf_epochs, cf_bs=args.cf_bs,
+        cf_max_batches=args.cf_max_batches, eval_freq=args.eval_freq,
+        vae_extra=args.vae_extra)
 
 
 if __name__ == "__main__":
