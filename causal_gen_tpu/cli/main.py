@@ -63,6 +63,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_call", type=int,
                    help="optimizer steps per jitted dispatch (amortizes "
                         "host<->device latency on tunneled backends)")
+    p.add_argument("--posterior_init_scale", type=float,
+                   help="init scale of posterior-head convs; 0 makes q==p "
+                        "at init (KL exactly 0), escaping the init-KL "
+                        "grad-skip deadlock on deep high-res stacks "
+                        "(see Config.posterior_init_scale)")
+    p.add_argument("--grad_clip", type=float)
+    p.add_argument("--grad_skip", type=float,
+                   help="skip the update when grad norm exceeds this "
+                        "(reference hps.py:142)")
     return p
 
 

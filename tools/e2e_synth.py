@@ -216,6 +216,11 @@ def _stage1(vae_cli, hps, root, vae_dir, epochs, bs, dataset,
             "--epochs", str(epochs), "--eval_freq", str(eval_freq),
             "--bs", str(bs), "--viz_freq", "0",
             "--stage_scan", "--remat", "--remat_min_res", "48",
+            # zero-init posterior heads: at 192² with ~70 stochastic blocks
+            # the default init lands at huge KL and every update trips
+            # grad_skip (measured: 16/16 steps skipped per epoch) — the same
+            # init-KL deadlock vol3d hit (Config.posterior_init_scale)
+            "--posterior_init_scale", "0.0",
             *ref_flags,
         ]
     else:
@@ -297,8 +302,11 @@ def main() -> None:
     p.add_argument("--cf_max_batches", type=int, default=3,
                    help="0 = full epoch")
     p.add_argument("--eval_freq", type=int, default=1)
-    p.add_argument("--vae_extra", nargs="*", default=[],
-                   help="extra flags forwarded to the stage-1 HVAE CLI")
+    p.add_argument("--vae_extra", default="",
+                   help="extra flags forwarded to the stage-1 HVAE CLI, as "
+                        "one space-separated string (argparse cannot accept "
+                        "dash-tokens in nargs lists), e.g. "
+                        "--vae_extra='--steps_per_call 4'")
     p.add_argument("--stages", default="1234",
                    help="subset of stages to run, e.g. '34' to reuse "
                         "existing stage-1/2 checkpoints")
@@ -316,7 +324,7 @@ def main() -> None:
     run(args.dataset, root, out, args.epochs, args.bs, stages=args.stages,
         flagship=args.flagship, cf_epochs=args.cf_epochs, cf_bs=args.cf_bs,
         cf_max_batches=args.cf_max_batches, eval_freq=args.eval_freq,
-        vae_extra=args.vae_extra)
+        vae_extra=args.vae_extra.split())
 
 
 if __name__ == "__main__":
