@@ -22,6 +22,7 @@ import numpy as np
 from causal_gen_tpu.config import Config
 from causal_gen_tpu.data.loader import Loader
 from causal_gen_tpu.pgm.dscm import vae_preprocess
+from causal_gen_tpu.pgm.train_cf import dense_intervention
 from causal_gen_tpu.utils.metrics import accuracy_onehot, mae
 from causal_gen_tpu.utils.normalization import MORPHOMNIST_MIN_MAX
 
@@ -29,15 +30,21 @@ from causal_gen_tpu.utils.normalization import MORPHOMNIST_MIN_MAX
 def make_cf_generate_fn(cfg: Config, vae, pgm, predictor,
                         t_z: float = 0.1, t_u: float = 0.1,
                         te_cf: bool = False, alpha: float = 0.65):
-    """Returns jitted fn(params, batch, do, rng) -> (cfs, preds)."""
+    """Returns jitted fn(params, batch, do_values, do_mask, rng) ->
+    (cfs, preds). Interventions arrive DENSE (values + mask over all DAG
+    variables, pgm/train_cf.py::dense_intervention) so every do-pattern in
+    the sweep shares ONE compiled program — the sparse-dict form made each
+    distinct intervened-variable set a separate jit specialization, which at
+    192^2 through the tunneled backend meant minutes of compile per pattern."""
 
-    def gen(vae_params, pgm_params, pred_params, batch, do, rng):
+    def gen(vae_params, pgm_params, pred_params, batch, do_values, do_mask,
+            rng):
         k1, k2, k3 = jax.random.split(rng, 3)
         x = batch["x"]
         pa = {k: v for k, v in batch.items() if k != "x"}
         cf_pa = pgm.apply(
-            {"params": pgm_params}, pa, do, method=pgm.counterfactual,
-            rngs={"sample": k1},
+            {"params": pgm_params}, pa, do_values, do_mask,
+            method=pgm.counterfactual_dense, rngs={"sample": k1},
         )
         _pa = vae_preprocess(cfg, pa)
         _cf_pa = vae_preprocess(cfg, cf_pa)
@@ -118,8 +125,9 @@ def eval_counterfactuals(
             idx = host.permutation(len(vals))[:bs]
             v = vals[idx]
             do[k] = jnp.asarray(v if v.ndim > 1 else v[:, None], jnp.float32)
+        do_values, do_mask = dense_intervention(tuple(dag_vars), batch, do)
         cfs, preds = gen(
-            vae_params, pgm_params, pred_params, batch, do,
+            vae_params, pgm_params, pred_params, batch, do_values, do_mask,
             jax.random.fold_in(rng, i),
         )
         cf_images.append(np.asarray(cfs["x"]))
