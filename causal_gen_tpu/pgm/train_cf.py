@@ -395,8 +395,17 @@ def cf_eval_epoch(
     predictions scored against the interventions
     (reference cf_epoch eval branch, train_cf.py:145-153, 181-189)."""
     dag_vars = tuple(dscm.pgm.dag_variables.keys())
+    # do-values must live in the PGM's parent space: run the raw train-set
+    # attrs through the SAME preprocessing the batches get (UKBB loads raw
+    # and preprocess_pgm_batch maps age/volumes to [-1,1]; feeding raw years
+    # into a [-1,1]-trained flow exploded every downstream recomputation)
     train_attrs = {
-        k: np.asarray(loaders["train"].ds.attrs[k]) for k in dag_vars
+        k: np.asarray(
+            preprocess_pgm_batch(
+                pgm_cfg, {k: np.asarray(loaders["train"].ds.attrs[k])}
+            )[k]
+        )
+        for k in dag_vars
     }
     host_rng = np.random.default_rng(cfg.seed + 1)
     stats = {k: 0.0 for k in ["loss", "aux_loss", "elbo", "nll", "kl", "morph_loss"]}

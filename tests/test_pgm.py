@@ -300,3 +300,32 @@ class TestUKBBPGM:
         ).max() > 1e-6
         # age unchanged (non-descendant of sex)
         assert np.allclose(cf["age"], obs["age"], atol=1e-4)
+
+
+class TestUKBBPreprocessContract:
+    """Regression for the CF eval-sweep normalization bug: do-values drawn
+    from train-set attrs MUST pass through preprocess_pgm_batch so UKBB raw
+    units land in the PGM's [-1,1] parent space (pgm/train_cf.py
+    cf_eval_epoch); raw years fed to a [-1,1]-trained flow exploded every
+    downstream recomputation in the flagship 192^2 run."""
+
+    def test_ukbb_attrs_normalize_without_x(self):
+        from causal_gen_tpu.pgm.train_pgm import (
+            PGMConfig,
+            preprocess_pgm_batch,
+        )
+        from causal_gen_tpu.utils.normalization import get_attr_max_min
+
+        cfg = PGMConfig(dataset="ukbb")
+        raw_age = np.array([44.0, 58.5, 73.0], np.float32)
+        out = preprocess_pgm_batch(cfg, {"age": raw_age})
+        a_max, a_min = get_attr_max_min("age")
+        expect = 2 * (raw_age - a_min) / (a_max - a_min) - 1
+        np.testing.assert_allclose(
+            np.asarray(out["age"])[:, 0], expect, rtol=1e-6)
+        assert float(np.abs(np.asarray(out["age"])).max()) <= 1.5
+        # binary attrs pass through untouched
+        sex = np.array([0.0, 1.0, 1.0], np.float32)
+        assert np.array_equal(
+            np.asarray(preprocess_pgm_batch(cfg, {"sex": sex})["sex"])[:, 0],
+            sex)
