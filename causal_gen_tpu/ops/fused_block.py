@@ -13,10 +13,11 @@ tensor and the residual operand in VMEM, cutting traffic to 2C — a
 theoretical ~1.75x for (C=32, b=8).
 
 Kernel design (TPU v5e, see tools/fused_probe.py for the measured verdict):
-- Layout (C, H, W*B) with the batch innermost: B=128 exactly fills the lane
+- Layout (H, C, W*B) with the batch innermost: B=128 exactly fills the lane
   dimension, so every w-window slice [w0*B : (w0+k)*B] is a lane-tile-aligned
-  VMEM slice and no relayout is ever needed. The probe measures the
-  transpose tax from NHWC separately.
+  VMEM slice and no relayout is ever needed (ring slots ride the UNTILED
+  leading dim — Mosaic rejects size-1 slices along a tiled dim). The probe
+  measures the transpose tax from NHWC separately.
 - A rolling window over H with manual DMA: 4-slot input ring and mid ring,
   2-slot output row buffer. Each input row is DMA'd from HBM exactly once
   (no halo re-reads), each output row written once — the kernel moves the
@@ -53,21 +54,22 @@ def _fused_light_block_kernel(
     *, C, CB, H, W, B, WC,
 ):
     """See module docstring. Ring pixel p lives at cols [(p+1)B, (p+2)B)
-    (one zero-pad pixel each side); ring slot for row r is r mod 4."""
+    (one zero-pad pixel each side); ring slot for row r is r mod 4 and rides
+    the leading (untiled) dim of each ring buffer."""
     WB = W * B
     n_chunks = W // WC
 
     def in_dma(row):
         slot = jax.lax.rem(row, 4)
         return pltpu.make_async_copy(
-            x_hbm.at[:, row], in_ring.at[:, slot, pl.ds(B, WB)],
+            x_hbm.at[row], in_ring.at[slot, :, pl.ds(B, WB)],
             in_sem.at[slot],
         )
 
     def out_dma(row):
         slot = jax.lax.rem(row, 2)
         return pltpu.make_async_copy(
-            out_buf.at[slot], y_hbm.at[:, row], out_sem.at[slot],
+            out_buf.at[slot], y_hbm.at[row], out_sem.at[slot],
         )
 
     def conv_row(ring, w_ref, n_out, row0, write):
@@ -82,7 +84,7 @@ def _fused_light_block_kernel(
                 dh, dw = s // 3, s % 3
                 slot = jax.lax.rem(row0 + dh - 1 + 4, 4)
                 rhs = jnp.maximum(
-                    ring[:, slot, pl.ds((w0 + dw) * B, WC * B)], 0
+                    ring[slot, :, pl.ds((w0 + dw) * B, WC * B)], 0
                 )
                 acc = acc + jax.lax.dot_general(
                     w_ref[s], rhs, (((1,), (0,)), ((), ())),
@@ -98,7 +100,7 @@ def _fused_light_block_kernel(
         slot = jax.lax.rem(r, 4)
 
         def write(w0, acc):
-            mid_ring[:, slot, pl.ds(B + w0 * B, WC * B)] = (
+            mid_ring[slot, :, pl.ds(B + w0 * B, WC * B)] = (
                 acc.astype(mid_ring.dtype)
             )
 
@@ -124,7 +126,7 @@ def _fused_light_block_kernel(
 
         @pl.when(h + 2 == H)  # virtual zero row below the image
         def _():
-            in_ring[:, jax.lax.rem(h + 2, 4)] = jnp.zeros(
+            in_ring[jax.lax.rem(h + 2, 4)] = jnp.zeros(
                 (C, (W + 2) * B), in_ring.dtype
             )
 
@@ -134,7 +136,7 @@ def _fused_light_block_kernel(
 
         @pl.when(h + 1 == H)  # virtual zero mid row below the image
         def _():
-            mid_ring[:, jax.lax.rem(h + 1, 4)] = jnp.zeros(
+            mid_ring[jax.lax.rem(h + 1, 4)] = jnp.zeros(
                 (CB, (W + 2) * B), mid_ring.dtype
             )
 
@@ -152,7 +154,7 @@ def _fused_light_block_kernel(
         xslot = jax.lax.rem(h, 4)
 
         def write(w0, acc):
-            res = in_ring[:, xslot, pl.ds(B + w0 * B, WC * B)]
+            res = in_ring[xslot, :, pl.ds(B + w0 * B, WC * B)]
             out_buf[oslot, :, pl.ds(w0 * B, WC * B)] = (
                 acc + res.astype(jnp.float32)
             ).astype(out_buf.dtype)
@@ -170,14 +172,14 @@ def _fused_light_block_kernel(
 def fused_light_block(x_flat: jax.Array, w1_taps: jax.Array,
                       w2_taps: jax.Array, *, B: int = 128,
                       WC: int = 8, interpret: bool = False) -> jax.Array:
-    """y = x + conv2(relu(conv1(relu(x)))) on (C, H, W*B)-flat input.
+    """y = x + conv2(relu(conv1(relu(x)))) on (H, C, W*B)-flat input.
 
-    x_flat: (C, H, W*B) — NHWC x transposed to (C,H,W,B) with the last two
+    x_flat: (H, C, W*B) — NHWC x transposed to (H,C,W,B) with the last two
     dims flattened (tools/fused_probe.py does this outside the timed region
     and prices the transpose separately).
     w1_taps/w2_taps: from :func:`pack_weights`.
     """
-    C, H, WB = x_flat.shape
+    H, C, WB = x_flat.shape
     W = WB // B
     CB = w1_taps.shape[1]
     assert W % WC == 0 and w1_taps.shape == (9, CB, C)
@@ -187,7 +189,7 @@ def fused_light_block(x_flat: jax.Array, w1_taps: jax.Array,
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((C, H, WB), x_flat.dtype),
+        out_shape=jax.ShapeDtypeStruct((H, C, WB), x_flat.dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w1 taps
@@ -195,24 +197,34 @@ def fused_light_block(x_flat: jax.Array, w1_taps: jax.Array,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((C, 4, (W + 2) * B), x_flat.dtype),   # input ring
-            pltpu.VMEM((CB, 4, (W + 2) * B), x_flat.dtype),  # mid ring
+            pltpu.VMEM((4, C, (W + 2) * B), x_flat.dtype),   # input ring
+            pltpu.VMEM((4, CB, (W + 2) * B), x_flat.dtype),  # mid ring
             pltpu.VMEM((2, C, W * B), x_flat.dtype),         # out rows
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # rings + row buffers exceed the default 16M scoped-vmem budget
+            # in f32 (the exactness-check dtype); size the limit to the
+            # actual buffers + stack headroom
+            vmem_limit_bytes=min(
+                int(1.5 * (6 * C + 8 * CB) * (W + 2) * B
+                    * x_flat.dtype.itemsize) + (8 << 20),
+                100 << 20,
+            ),
+        ),
         interpret=interpret,
     )(x_flat, w1_taps, w2_taps)
 
 
 def nhwc_to_flat(x: jax.Array) -> jax.Array:
-    """(B,H,W,C) -> (C,H,W*B)."""
+    """(B,H,W,C) -> (H,C,W*B)."""
     b, h, w, c = x.shape
-    return jnp.transpose(x, (3, 1, 2, 0)).reshape(c, h, w * b)
+    return jnp.transpose(x, (1, 3, 2, 0)).reshape(h, c, w * b)
 
 
 def flat_to_nhwc(y: jax.Array, B: int) -> jax.Array:
-    """(C,H,W*B) -> (B,H,W,C)."""
-    c, h, wb = y.shape
-    return jnp.transpose(y.reshape(c, h, wb // B, B), (3, 1, 2, 0))
+    """(H,C,W*B) -> (B,H,W,C)."""
+    h, c, wb = y.shape
+    return jnp.transpose(y.reshape(h, c, wb // B, B), (3, 0, 2, 1))

@@ -209,7 +209,13 @@ def _stage1(vae_cli, hps, root, vae_dir, epochs, bs, dataset,
     if flagship:
         ref_flags = (
             ["--beta", "5", "--z_max_res", "96", "--wd", "0.05"]
-            if dataset == "ukbb" else ["--beta", "9"]
+            if dataset == "ukbb"
+            # mimic192 launch (run_slurm.sh:39-52): beta=9 AND z_max_res=96 —
+            # without the z cap the decoder carries stochastic blocks at full
+            # 192² (posterior+prior heads on 64x192x192 maps) and the train
+            # step needs 20.8G HBM at bs=128 / 15.9G at bs=96: over capacity
+            # either way. With the reference cap it fits like ukbb192 does.
+            else ["--beta", "9", "--z_max_res", "96", "--wd", "0.05"]
         )
         argv = [
             "--hps", hps, "--data_dir", root, "--save_dir", vae_dir,
@@ -230,7 +236,15 @@ def _stage1(vae_cli, hps, root, vae_dir, epochs, bs, dataset,
             "--beta", "1.0", "--dtype", "float32", "--viz_freq", "0",
             *TINY_ARCH[dataset],
         ]
-    vae_cli.main(argv + list(vae_extra))
+    extra = list(vae_extra)
+    # auto-resume: a crashed/killed stage-1 restart must continue from the
+    # orbax rotation instead of silently clobbering it (the trainer only
+    # resumes when --resume is given)
+    ckpt = os.path.join(vae_dir, "checkpoint")
+    if "--resume" not in extra and os.path.exists(ckpt + ".meta.json"):
+        print(f"== stage 1: auto-resuming from {ckpt} ==")
+        extra += ["--resume", ckpt]
+    vae_cli.main(argv + extra)
 
 
 def _pgm_common(dataset, root, epochs, bs, res):

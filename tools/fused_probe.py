@@ -10,8 +10,16 @@ rows, batch-on-lanes layout); this probe measures it against the plain XLA
 body on the exact ukbb192/mimic192 hot shapes, prices the NHWC->flat layout
 boundary separately, and verifies f32 exactness on-chip.
 
-Timing: chained (y=f(y)) + difference (N+1 minus 1) per the methodology note
-in RESULTS.md. Run on the TPU: python tools/fused_probe.py
+Timing: PROFILER-DERIVED device time. Wall-clock through the tunneled
+runtime is untrustworthy at sub-ms scale — both block_until_ready and
+1-element readbacks produced "measurements" 5-7x below the op's own HBM
+traffic floor (see /tmp/fused_probe*.log history): the tunnel pipelines
+chained dispatches and acks readbacks optimistically. jax.profiler traces
+record on-device op durations (the same xplane source tools/mfu.py used to
+find the round-2 traffic bugs), so each op is timed by summing its device
+plane events over a counted iteration window.
+
+Run on the TPU: python tools/fused_probe.py
 """
 
 from __future__ import annotations
@@ -19,7 +27,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -42,25 +49,59 @@ from causal_gen_tpu.ops.fused_block import (
 HBM_GBPS = 680.0  # measured effective elementwise bandwidth on this chip
 
 
-def per_op_ms(f, x, iters=20):
+def _sync(y):
+    # host readback: forces the chain to complete before the trace closes
+    return float(np.asarray(jax.device_get(y.reshape(-1)[0])))
+
+
+def _device_ms(trace_dir: str) -> float:
+    """Total device-plane op time (ms) recorded under trace_dir."""
+    from tools.trace_ops import load_xspaces
+
+    total_ps = 0
+    for xs in load_xspaces(trace_dir):
+        for plane in xs.planes:
+            if "TPU" not in plane.name or "Host" in plane.name:
+                continue
+            meta = plane.event_metadata
+            for line in plane.lines:
+                if line.name.startswith("Steps"):
+                    continue
+                for ev in line.events:
+                    md = meta.get(ev.metadata_id)
+                    if md is None or not md.name:
+                        continue
+                    total_ps += ev.duration_ps
+    return total_ps / 1e9
+
+
+def per_op_ms(f, x, iters=20, tag="op"):
+    """Device ms/iter from a profiler trace over a counted window.
+
+    The chained-dispatch wall-clock methodology is a liar here (see module
+    docstring); device-plane event durations are measured by the chip's own
+    tracer and are contention- and tunnel-latency-free.
+    """
+    import shutil
+    import tempfile
+
     y = x
     for _ in range(3):
         y = f(y)
-    jax.block_until_ready(y)
+    _sync(y)
     best = float("inf")
-    for _ in range(3):  # best-of-windows (shared pool)
-        t0 = time.perf_counter()
-        y1 = f(x)
-        jax.block_until_ready(y1)
-        t1 = time.perf_counter() - t0
-        y = x
-        t0 = time.perf_counter()
-        for _ in range(iters + 1):
-            y = f(y)
-        jax.block_until_ready(y)
-        tn = time.perf_counter() - t0
-        best = min(best, (tn - t1) / iters)
-    return best * 1e3
+    for _ in range(2):  # two windows; device time should be stable
+        tdir = tempfile.mkdtemp(prefix=f"fused_probe_{tag}_")
+        try:
+            with jax.profiler.trace(tdir):
+                y = x
+                for _ in range(iters):
+                    y = f(y)
+                _sync(y)
+            best = min(best, _device_ms(tdir) / iters)
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+    return best
 
 
 def main():
@@ -92,10 +133,20 @@ def main():
 
             return jax.jit(body)
 
-        # f32 on-chip exactness first
-        x32 = jnp.asarray(rng.standard_normal((b, h, h, ci)), jnp.float32)
+        # f32 on-chip exactness at reduced H=W=96 (f32 rings scale with W and
+        # exceed VMEM at W=192; B must stay 128 for lane alignment).
+        # Full-shape exactness lives in tests/test_fused_block.py interpret
+        # mode — this checks the MOSAIC lowering on the real chip.
+        h_chk = 96
+        x32 = jnp.asarray(rng.standard_normal((b, h_chk, h_chk, ci)),
+                          jnp.float32)
         t1f, t2f = pack_weights(w1, w2)
-        y_ref = make_plain(w1, w2)(x32)
+        dn_chk = jax.lax.conv_dimension_numbers(
+            (b, h_chk, h_chk, ci), w1.shape, ("NHWC", "HWIO", "NHWC"))
+        conv_chk = lambda v, w: jax.lax.conv_general_dilated(
+            v, w, (1, 1), "SAME", dimension_numbers=dn_chk)
+        y_ref = x32 + conv_chk(
+            jax.nn.relu(conv_chk(jax.nn.relu(x32), w1)), w2)
         y_fused = flat_to_nhwc(
             fused_light_block(nhwc_to_flat(x32), t1f, t2f, B=b, WC=wc), b)
         err = float(jnp.max(jnp.abs(y_ref - y_fused))
@@ -109,9 +160,16 @@ def main():
         body = make_plain(w1b, w2b)
         fused = jax.jit(lambda z: fused_light_block(z, t1, t2, B=b, WC=wc))
         to_flat = jax.jit(nhwc_to_flat)
-        t_plain = per_op_ms(body, x)
-        t_fused = per_op_ms(fused, xf)
-        t_trans = per_op_ms(lambda z: to_flat(flat_to_nhwc(z, b)), xf) / 2
+        t_plain = per_op_ms(body, x, tag="plain")
+        t_fused = per_op_ms(fused, xf, tag="fused")
+        t_trans = per_op_ms(
+            lambda z: to_flat(flat_to_nhwc(z, b)), xf, tag="trans") / 2
+
+        # control: elementwise op with known traffic (read+write = 2x nbytes)
+        # validates both the tracer and the HBM_GBPS constant in-run
+        ctrl = jax.jit(lambda z: z + jnp.bfloat16(1.0))
+        t_ctrl = per_op_ms(ctrl, x, tag="ctrl")
+        ctrl_gbps = 2 * x.size * 2 / (t_ctrl * 1e6) if t_ctrl > 0 else 0.0
 
         n_px = b * h * h
         floor_plain = (3 * ci + 2 * cb) * n_px * 2 / (HBM_GBPS * 1e6)
@@ -124,6 +182,7 @@ def main():
             "fused_floor_ms": round(floor_fused, 3),
             "speedup": round(t_plain / t_fused, 3),
             "transpose_tax_ms_oneway": round(t_trans, 3),
+            "ctrl_elementwise_gbps": round(ctrl_gbps, 1),
             "f32_rel_err": err,
         }))
 
