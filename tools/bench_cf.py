@@ -20,7 +20,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -166,48 +165,39 @@ def main() -> None:
     trainable = dscm.init_trainable(vae_params)
     frozen = {"pgm": pgm_params, "predictor": pred_params}
 
-    fwd = jax.jit(
-        lambda t, f, b, d, r: dscm.forward(t, f, b, d, r)["cfs"]["x"]
-    )
+    def cf_forward(t, f, b, d, r):
+        return dscm.forward(t, f, b, d, r)["cfs"]["x"]
 
-    # CHAINED + DIFFERENCE + READBACK timing: the tunneled runtime pipelines
-    # dispatches and even block_until_ready can return optimistically (a
-    # first version of this bench "measured" 25.8k cf/s at 192^2 on
-    # independent calls, and 26.5k on chained calls synced only with
-    # block_until_ready — both physically impossible). Feeding each call's
-    # cf_x back as the next observation serializes device execution,
-    # (N+1 calls - 1 call) cancels dispatch latency, and reading ONE element
-    # back to the host is the only sync this runtime honors.
+    fwd = jax.jit(cf_forward)
+
+    # PROFILER-DERIVED DEVICE TIMING (tools/device_time.py). Every
+    # wall-clock variant of this bench was caught lying through the
+    # tunneled shared-pool runtime: independent calls "measured" 25.8k cf/s
+    # at 192^2, block_until_ready-synced chains 26.5k, and the readback-
+    # synced (N+1 minus 1) difference 85k at bs=128 — all physically
+    # impossible (a full DSCM forward is ~3 HVAE decoder passes; the train
+    # step alone runs ~300 ms at this shape). The chip's own tracer records
+    # per-module device durations that none of the tunnel's pipelining,
+    # optimistic acks, or queue waits can distort.
     def call(x, k):
         return fwd(trainable, frozen, {**batch, "x": x}, do,
                    jax.random.fold_in(rng, k))
 
-    def sync(y):
-        return float(np.asarray(jax.device_get(y[0, 0, 0, 0])))
+    from tools.device_time import device_ms_per_iter
 
-    y = batch["x"]
-    for i in range(3):
-        y = call(y, i)
-    sync(y)
+    holder = {"x": batch["x"]}
 
-    iters = args.iters
-    best = float("inf")
-    for w in range(3):  # best-of-windows (shared pool)
-        t0 = time.perf_counter()
-        sync(call(batch["x"], 50 + w))
-        t1 = time.perf_counter() - t0
-        y = batch["x"]
-        t0 = time.perf_counter()
-        for i in range(iters + 1):
-            y = call(y, 100 + w * 1000 + i)
-        sync(y)
-        tn = time.perf_counter() - t0
-        best = min(best, (tn - t1) / iters)
+    def dispatch(k):
+        holder["x"] = call(holder["x"], k)
+        return holder["x"]
+
+    ms = device_ms_per_iter(dispatch, iters=args.iters, windows=3,
+                            module_prefix="cf_forward", tag="bench_cf")
     print(json.dumps({
         "metric": f"counterfactuals_per_sec_per_chip_{args.hps}",
-        "value": round(bs / best, 1),
+        "value": round(bs / (ms / 1e3), 1),
         "unit": "counterfactuals/sec",
-        "ms_per_batch": round(best * 1e3, 2),
+        "device_ms_per_batch": round(ms, 2),
         "bs": bs,
         "from_checkpoints": bool(args.vae_path),
     }))

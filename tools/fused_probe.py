@@ -16,8 +16,11 @@ runtime is untrustworthy at sub-ms scale — both block_until_ready and
 traffic floor (see /tmp/fused_probe*.log history): the tunnel pipelines
 chained dispatches and acks readbacks optimistically. jax.profiler traces
 record on-device op durations (the same xplane source tools/mfu.py used to
-find the round-2 traffic bugs), so each op is timed by summing its device
-plane events over a counted iteration window.
+find the round-2 traffic bugs), so each op is timed by summing its own XLA
+module's device-plane events over a counted iteration window (the 'XLA
+Modules' line only — 'XLA Ops' duplicates the same time — and filtered by
+module name so the sync readback's reshape/copy don't pollute the sum; an
+in-run elementwise control op validates the method against known traffic).
 
 Run on the TPU: python tools/fused_probe.py
 """
@@ -49,59 +52,27 @@ from causal_gen_tpu.ops.fused_block import (
 HBM_GBPS = 680.0  # measured effective elementwise bandwidth on this chip
 
 
-def _sync(y):
-    # host readback: forces the chain to complete before the trace closes
-    return float(np.asarray(jax.device_get(y.reshape(-1)[0])))
-
-
-def _device_ms(trace_dir: str) -> float:
-    """Total device-plane op time (ms) recorded under trace_dir."""
-    from tools.trace_ops import load_xspaces
-
-    total_ps = 0
-    for xs in load_xspaces(trace_dir):
-        for plane in xs.planes:
-            if "TPU" not in plane.name or "Host" in plane.name:
-                continue
-            meta = plane.event_metadata
-            for line in plane.lines:
-                if line.name.startswith("Steps"):
-                    continue
-                for ev in line.events:
-                    md = meta.get(ev.metadata_id)
-                    if md is None or not md.name:
-                        continue
-                    total_ps += ev.duration_ps
-    return total_ps / 1e9
-
-
 def per_op_ms(f, x, iters=20, tag="op"):
-    """Device ms/iter from a profiler trace over a counted window.
+    """Device ms/iter via the chip's own tracer (tools/device_time.py).
 
     The chained-dispatch wall-clock methodology is a liar here (see module
-    docstring); device-plane event durations are measured by the chip's own
-    tracer and are contention- and tunnel-latency-free.
+    docstring); device-plane module durations are contention- and
+    tunnel-latency-free.
     """
-    import shutil
-    import tempfile
+    from tools.device_time import device_ms_per_iter
 
-    y = x
-    for _ in range(3):
-        y = f(y)
-    _sync(y)
-    best = float("inf")
-    for _ in range(2):  # two windows; device time should be stable
-        tdir = tempfile.mkdtemp(prefix=f"fused_probe_{tag}_")
-        try:
-            with jax.profiler.trace(tdir):
-                y = x
-                for _ in range(iters):
-                    y = f(y)
-                _sync(y)
-            best = min(best, _device_ms(tdir) / iters)
-        finally:
-            shutil.rmtree(tdir, ignore_errors=True)
-    return best
+    def probe_target(z):
+        return f(z)
+
+    g = jax.jit(probe_target)
+    holder = {"y": x}
+
+    def dispatch(i):
+        holder["y"] = g(holder["y"])
+        return holder["y"]
+
+    return device_ms_per_iter(dispatch, iters=iters,
+                              module_prefix="probe_target", tag=tag)
 
 
 def main():
@@ -160,8 +131,11 @@ def main():
         body = make_plain(w1b, w2b)
         fused = jax.jit(lambda z: fused_light_block(z, t1, t2, B=b, WC=wc))
         to_flat = jax.jit(nhwc_to_flat)
+        print(f"exactness done (err={err:.2e}); timing plain...", flush=True)
         t_plain = per_op_ms(body, x, tag="plain")
+        print(f"plain {t_plain:.3f} ms; timing fused...", flush=True)
         t_fused = per_op_ms(fused, xf, tag="fused")
+        print(f"fused {t_fused:.3f} ms; timing transpose...", flush=True)
         t_trans = per_op_ms(
             lambda z: to_flat(flat_to_nhwc(z, b)), xf, tag="trans") / 2
 

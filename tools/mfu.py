@@ -105,12 +105,20 @@ def main() -> None:
         jax.block_until_ready(m)
         dts.append((time.perf_counter() - t0) / args.iters)
 
+    device_ms = None
     if args.trace_dir:
+        n_traced = 4
         with jax.profiler.trace(args.trace_dir):
-            for _ in range(3):
+            for _ in range(n_traced):
                 new_state, m = compiled(new_state, batch, jax.random.fold_in(rng, k))
                 k += 1
-            jax.block_until_ready(m)
+            # 1-element readback: the only sync the tunneled runtime honors
+            float(np.asarray(jax.device_get(jax.tree.leaves(m)[0].reshape(-1)[0])))
+        # device-plane module time: immune to tunnel pipelining/contention
+        # (tools/device_time.py has the methodology + validation)
+        from tools.device_time import module_ms
+
+        device_ms = module_ms(args.trace_dir, "train_step") / n_traced
 
     best, med = min(dts), float(np.median(dts))
     peak = V5E_PEAK_FLOPS.get(cfg.dtype, V5E_PEAK_FLOPS["float32"])
@@ -130,6 +138,12 @@ def main() -> None:
         "mfu_best_pct": round(100.0 * flops / best / peak, 1) if flops else None,
         "pool_contended": bool(med / best > 1.5),
     }
+    if device_ms:
+        report["ms_per_step_device"] = round(device_ms, 2)
+        report["img_per_sec_device"] = round(cfg.bs / (device_ms / 1e3), 1)
+        report["mfu_device_pct"] = (
+            round(100.0 * flops / (device_ms / 1e3) / peak, 1) if flops else None
+        )
     print(json.dumps(report))
 
 
