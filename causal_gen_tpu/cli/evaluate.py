@@ -91,9 +91,22 @@ def main(argv: Optional[list] = None) -> None:
         seeds=tuple(args.seeds), do_pa=args.do_pa,
         measure=not args.no_measure, te_cf=args.te_cf, alpha=args.abduct_alpha,
     )
-    print(json.dumps(
-        {k: {"mean": v[0], "std": v[1]} for k, v in results.items()}, indent=2
-    ))
+    # annotate expected-invariant rows: DAG variables the VAE is NOT
+    # conditioned on (cfg.parents_x) cannot transfer through the image —
+    # their rows measure PGM-only counterfactual consistency, and any
+    # predicted-from-image metric is expected to be unchanged by CF
+    # fine-tuning (e.g. ukbb192's `age`, and `sex` when not a parent).
+    non_image_parents = sorted(
+        set(pgm.dag_variables) - set(vae_cfg.parents_x)
+    )
+    print(json.dumps({
+        "metrics": {
+            k: {"mean": v[0], "std": v[1]} for k, v in results.items()
+        },
+        "units": ("physical (volumes in ml, age in years; "
+                  "train_cf.py:63-108 conventions)"),
+        "non_image_parents_expected_invariant": non_image_parents,
+    }, indent=2))
 
 
 if __name__ == "__main__":

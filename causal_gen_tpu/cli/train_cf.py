@@ -42,6 +42,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--do_pa", default=None)
     p.add_argument("--eval_freq", type=int, default=None)  # fresh default 1
     p.add_argument("--cf_particles", type=int, default=1)
+    p.add_argument("--accu_steps", type=int, default=None,
+                   help="microbatches per update scanned inside one jitted "
+                        "step (effective batch = bs, live activations = "
+                        "bs/accu_steps)")
+    p.add_argument("--steps_per_call", type=int, default=None,
+                   help="full update steps per dispatch (lax.scan), the CF "
+                        "analog of the HVAE trainer's knob")
+    p.add_argument("--cf_remat", action="store_true", default=None,
+                   help="rematerialize each HVAE pass in the CF backward "
+                        "(fits bs=128 batch-on-lanes layouts at 192^2)")
     p.add_argument("--elbo_constraint", type=float, default=None,
                    help="eps; defaults to the stored best valid ELBO of the "
                         "VAE checkpoint (reference hard-codes the UKBB train "
@@ -96,6 +106,7 @@ def main(argv: Optional[list] = None) -> None:
         load_cf_checkpoint,
         load_cf_meta,
         make_cf_eval_step,
+        make_cf_multi_step,
         make_cf_train_step,
     )
     from causal_gen_tpu.train.checkpoint import (
@@ -133,6 +144,9 @@ def main(argv: Optional[list] = None) -> None:
         elbo_constraint=eps,
         thickness_weight=args.thickness_weight,
         intensity_weight=args.intensity_weight,
+        accu_steps=args.accu_steps or 1,
+        steps_per_call=args.steps_per_call or 1,
+        cf_remat=bool(args.cf_remat),
     )
     save_dir = args.save_dir or os.path.join(
         "checkpoints", f"cf_{pgm_cfg.dataset}", args.exp_name or "default"
@@ -161,6 +175,12 @@ def main(argv: Optional[list] = None) -> None:
         run_overrides = {
             k: v for k, v in (
                 ("epochs", args.epochs), ("eval_freq", args.eval_freq),
+                # execution-shape knobs are run-control too: remat and
+                # steps_per_call are numerically identical, accu_steps only
+                # re-partitions the same effective batch
+                ("accu_steps", args.accu_steps),
+                ("steps_per_call", args.steps_per_call),
+                ("cf_remat", args.cf_remat),
             ) if v is not None
         }
         if run_overrides:
@@ -200,11 +220,16 @@ def main(argv: Optional[list] = None) -> None:
         damping=cfg.damping, thickness_weight=cfg.thickness_weight,
         intensity_weight=cfg.intensity_weight,
         thickness_calib=tuple(cfg.thickness_calib),
+        remat=cfg.cf_remat,
     )
     state = init_cf_state(cfg, dscm, vae_state.ema_params)
     if resume_path:
         _, state, _ = load_cf_checkpoint(resume_path, template_state=state)
     train_step = make_cf_train_step(cfg, dscm, frozen)
+    multi_step = (
+        make_cf_multi_step(cfg, dscm, frozen)
+        if cfg.steps_per_call > 1 else None
+    )
     eval_step = make_cf_eval_step(cfg, dscm, frozen)
     rng = jax.random.PRNGKey(cfg.seed)
     host_rng = np.random.default_rng(cfg.seed)
@@ -212,7 +237,7 @@ def main(argv: Optional[list] = None) -> None:
     for epoch in range(start_epoch, cfg.epochs + 1):
         state, stats = cf_train_epoch(
             cfg, pgm_cfg, dscm, state, frozen, loaders["train"], train_step,
-            rng, epoch, host_rng,
+            rng, epoch, host_rng, multi_step=multi_step,
         )
         logger.info("epoch %d | %s", epoch, stats)
         writer.add_scalars(stats, epoch, prefix="train/")

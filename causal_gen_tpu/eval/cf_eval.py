@@ -22,8 +22,8 @@ import numpy as np
 from causal_gen_tpu.config import Config
 from causal_gen_tpu.data.loader import Loader
 from causal_gen_tpu.pgm.dscm import vae_preprocess
-from causal_gen_tpu.pgm.train_cf import dense_intervention
-from causal_gen_tpu.utils.metrics import accuracy_onehot, mae
+from causal_gen_tpu.pgm.train_cf import cf_get_metrics, dense_intervention
+from causal_gen_tpu.utils.metrics import mae
 from causal_gen_tpu.utils.normalization import MORPHOMNIST_MIN_MAX
 
 
@@ -138,18 +138,12 @@ def eval_counterfactuals(
 
     Pc = {k: np.concatenate(v) for k, v in P.items()}
     Tc = {k: np.concatenate(v) for k, v in T.items()}
-    stats: Dict[str, float] = {}
-    for k in dag_vars:
-        if Tc[k].shape[-1] > 1:  # categorical
-            stats[k + "_acc"] = accuracy_onehot(Tc[k], Pc[k])
-        else:
-            if "morphomnist" in cfg.name:
-                lo, hi = MORPHOMNIST_MIN_MAX[k]
-                p = ((Pc[k] + 1) / 2) * (hi - lo) + lo
-                t = ((Tc[k] + 1) / 2) * (hi - lo) + lo
-                stats[k + "_mae"] = mae(t, p)
-            else:
-                stats[k + "_mae"] = mae(Tc[k], Pc[k])
+    # Per-variable metrics in PHYSICAL units via the same per-dataset
+    # unnormalization as the CF-training eval surface (reference
+    # train_cf.py:63-108): ukbb volumes in ml (the /1000 convention), ages
+    # in years, binaries as ROC-AUC/acc rather than prob-MAE — so the
+    # effectiveness tables read directly against the paper's scales.
+    stats: Dict[str, float] = dict(cf_get_metrics(cfg.name, Pc, Tc))
 
     if measure and "morphomnist" in cfg.name:
         from causal_gen_tpu.eval.morphometrics import (

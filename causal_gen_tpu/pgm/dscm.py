@@ -95,6 +95,13 @@ class DSCM:
     thickness_weight: float = 0.0
     intensity_weight: float = 0.0
     thickness_calib: Tuple[float, float] = (1.0, 0.0)
+    # rematerialize each HVAE pass in backward: the CF loss differentiates
+    # through THREE decoder passes (abduct + 2x forward_latents) plus the
+    # factual ELBO — without remat their activations coexist and 192^2
+    # training is pinned to bs=16 by HBM (RESULTS.md "HBM finding"); with it
+    # only one pass's residuals are live at a time, letting bs=128's
+    # batch-on-lanes layouts fit at ~1.3x recompute.
+    remat: bool = False
 
     def init_trainable(self, vae_params: Any) -> Dict[str, Any]:
         return {
@@ -128,11 +135,31 @@ class DSCM:
         pa = {k: v for k, v in obs.items() if k != "x"}
         _pa = vae_preprocess(cfg, pa)
 
+        # optional remat of each full HVAE pass (see class docstring): the
+        # wrapped functions are pure in (params, arrays, key) so backward
+        # recomputes them instead of keeping 3-4 passes of activations live
+        ckpt = jax.checkpoint if self.remat else (lambda f: f)
+
+        def fact_fn(p, x_, pa_, key):
+            return self.vae.apply(
+                {"params": p}, x_, pa_, beta=beta, train=False,
+                rngs={"sample": key},
+            )
+
+        def abduct_fn(p, x_, pa_, key):
+            return self.vae.apply(
+                {"params": p}, x_, pa_, t=t_abduct,
+                method=self.vae.abduct, rngs={"sample": key},
+            )
+
+        def decode_fn(p, zs_, pa_, key):
+            return self.vae.apply(
+                {"params": p}, zs_, pa_,
+                method=self.vae.forward_latents, rngs={"sample": key},
+            )
+
         r_fact, r_loop = jax.random.split(rng)
-        vae_out = self.vae.apply(
-            {"params": vae_params}, x, _pa, beta=beta, train=False,
-            rngs={"sample": r_fact},
-        )
+        vae_out = ckpt(fact_fn)(vae_params, x, _pa, r_fact)
 
         cf_sum = jnp.zeros_like(x)
         cf_sq = jnp.zeros_like(x)
@@ -151,21 +178,12 @@ class DSCM:
                     method=self.pgm.counterfactual, rngs={"sample": k1},
                 )
             _cf_pa = vae_preprocess(cfg, cf_pa)
-            zs = self.vae.apply(
-                {"params": vae_params}, x, _pa, t=t_abduct,
-                method=self.vae.abduct, rngs={"sample": k2},
-            )
+            zs = ckpt(abduct_fn)(vae_params, x, _pa, k2)
             # cond_prior abduction returns {z, q_loc, q_logscale} dicts
             # (vae.py:271-276); the decoder consumes plain latents
             zs = [z["z"] if isinstance(z, dict) else z for z in zs]
-            cf_loc, cf_scale = self.vae.apply(
-                {"params": vae_params}, zs, _cf_pa,
-                method=self.vae.forward_latents, rngs={"sample": k3},
-            )
-            rec_loc, rec_scale = self.vae.apply(
-                {"params": vae_params}, zs, _pa,
-                method=self.vae.forward_latents, rngs={"sample": k4},
-            )
+            cf_loc, cf_scale = ckpt(decode_fn)(vae_params, zs, _cf_pa, k3)
+            rec_loc, rec_scale = ckpt(decode_fn)(vae_params, zs, _pa, k4)
             u = (x - rec_loc) / jnp.clip(rec_scale, min=1e-12)
             cf_x = jnp.clip(cf_loc + cf_scale * u, -1.0, 1.0)
             cf_sum = cf_sum + cf_x
@@ -181,11 +199,15 @@ class DSCM:
 
         cfs = {"x": cf_x_mean, **cf_pa}
         bs = x.shape[0]
-        aux_lps = self.predictor.apply(
-            {"params": pred_params}, cfs["x"],
-            method=self.predictor.anticausal_logprob,
-            rngs={"sample": rng}, **cf_pa,
-        )
+
+        def aux_fn(p, cf_x_, cf_pa_, key):
+            return self.predictor.apply(
+                {"params": p}, cf_x_,
+                method=self.predictor.anticausal_logprob,
+                rngs={"sample": key}, **cf_pa_,
+            )
+
+        aux_lps = ckpt(aux_fn)(pred_params, cfs["x"], cf_pa, rng)
         aux_loss = -sum(jnp.sum(v) for v in aux_lps.values()) / bs
 
         # Lagrangian with damping (dscm.py:85-88)

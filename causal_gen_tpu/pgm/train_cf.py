@@ -59,6 +59,19 @@ class CFConfig:
     do_pa: Optional[str] = None
     eval_freq: int = 1
     cf_particles: int = 1
+    # 192^2 batch-wall knobs (RESULTS.md "HBM finding"): at bs<128 XLA pads
+    # C=32 activations to the 128-lane tile (4x HBM expansion) but bs=128's
+    # tripled CF graph OOMs. accu_steps splits the batch into microbatches
+    # scanned inside ONE jitted step (grads averaged, one optimizer update —
+    # effective batch decoupled from live activations, reference
+    # trainer.py:63-66 semantics); steps_per_call scans S full update steps
+    # per dispatch (dispatch/transfer amortization, same as the HVAE
+    # trainer's knob). cf_remat recomputes each particle's decoder passes in
+    # backward instead of keeping 3 passes of activations live, letting
+    # bs=128's batch-on-lanes layouts fit.
+    accu_steps: int = 1
+    steps_per_call: int = 1
+    cf_remat: bool = False
     # inherited from the VAE checkpoint (train_cf.py:404-411)
     beta: float = 1.0
     grad_clip: float = 350.0
@@ -122,6 +135,35 @@ def init_cf_state(cfg: CFConfig, dscm: DSCM, vae_params: Any) -> CFTrainState:
 
 def make_cf_train_step(cfg: CFConfig, dscm: DSCM, frozen: Dict[str, Any],
                        donate: bool = True):
+    step_body = _make_cf_step_body(cfg, dscm, frozen)
+    return jax.jit(step_body, donate_argnums=(0,) if donate else ())
+
+
+def make_cf_multi_step(cfg: CFConfig, dscm: DSCM, frozen: Dict[str, Any],
+                       donate: bool = True):
+    """S full CF update steps per jitted dispatch (lax.scan over batches
+    stacked on a leading S axis) — the CF-loop analog of the HVAE trainer's
+    steps_per_call. RNG parity with the single-step path: step j of a chunk
+    starting at batch index ``start`` uses fold_in(rng, offset + j), the
+    exact key cf_train_epoch derives (epoch*100000 + i)."""
+    step_body = _make_cf_step_body(cfg, dscm, frozen)
+
+    def multi_step(state: CFTrainState, batch, do, do_mask, rng, offset):
+        def body(st, inp):
+            b, d, m, j = inp
+            key = jax.random.fold_in(rng, offset + j)
+            st, metrics = step_body(st, b, d, m, key)
+            return st, metrics
+
+        s = jax.tree.leaves(batch)[0].shape[0]
+        js = jnp.arange(s, dtype=jnp.int32)
+        state, ms = jax.lax.scan(body, state, (batch, do, do_mask, js))
+        return state, ms  # metrics stacked on leading S axis
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+
+
+def _make_cf_step_body(cfg: CFConfig, dscm: DSCM, frozen: Dict[str, Any]):
     opt, lagrange_opt = make_cf_optimizers(cfg)
 
     def loss_fn(trainable, batch, do, do_mask, rng):
@@ -131,10 +173,40 @@ def make_cf_train_step(cfg: CFConfig, dscm: DSCM, frozen: Dict[str, Any],
         )
         return out["loss"], out
 
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    accu = max(int(cfg.accu_steps), 1)
+
     def train_step(state: CFTrainState, batch, do, do_mask, rng):
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.trainable, batch, do, do_mask, rng
-        )
+        if accu == 1:
+            (loss, out), grads = grad_fn(
+                state.trainable, batch, do, do_mask, rng
+            )
+        else:
+            # microbatch accumulation: leaves arrive stacked (accu, micro,
+            # ...); grads averaged over microbatches inside a scan so only
+            # one microbatch's activations are ever live (reference
+            # trainer.py:63-66 accumulation semantics)
+            def micro(carry, inp):
+                g_acc, loss_a, out_a, i = carry
+                b, d, m = inp
+                key = jax.random.fold_in(rng, i)
+                (loss_i, out_i), g_i = grad_fn(state.trainable, b, d, m, key)
+                g_acc = jax.tree.map(lambda a, g: a + g / accu, g_acc, g_i)
+                out_keep = {
+                    k: out_a[k] + out_i[k] / accu
+                    for k in ("aux_loss", "elbo", "nll", "kl", "morph_loss")
+                }
+                return (g_acc, loss_a + loss_i / accu, out_keep, i + 1), None
+
+            zero_g = jax.tree.map(jnp.zeros_like, state.trainable)
+            zero_out = {k: jnp.zeros(()) for k in
+                        ("aux_loss", "elbo", "nll", "kl", "morph_loss")}
+            (grads, loss, out, _), _ = jax.lax.scan(
+                micro,
+                (zero_g, jnp.zeros(()), zero_out, jnp.zeros((), jnp.int32)),
+                (batch, do, do_mask),
+            )
+            out = dict(out, loss=loss)
         grads, grad_norm = clip_by_global_norm(grads, cfg.grad_clip)
         nan_found = jnp.isnan(loss) | jnp.isnan(grad_norm)
         ok = (grad_norm < cfg.grad_skip) & ~nan_found
@@ -187,7 +259,7 @@ def make_cf_train_step(cfg: CFConfig, dscm: DSCM, frozen: Dict[str, Any],
             metrics,
         )
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return train_step
 
 
 def make_cf_eval_step(cfg: CFConfig, dscm: DSCM, frozen: Dict[str, Any]):
@@ -440,6 +512,17 @@ def cf_eval_epoch(
     return stats, metrics
 
 
+def _reshape_accu_cf(tree, accu: int):
+    """(B, ...) leaves -> (accu, B//accu, ...) for the in-step microbatch
+    scan. B must be divisible by accu (the Loader's drop_last guarantees
+    full batches)."""
+    if accu <= 1:
+        return tree
+    return jax.tree.map(
+        lambda v: v.reshape(accu, v.shape[0] // accu, *v.shape[1:]), tree
+    )
+
+
 def cf_train_epoch(
     cfg: CFConfig,
     pgm_cfg: PGMConfig,
@@ -451,19 +534,61 @@ def cf_train_epoch(
     rng: jax.Array,
     epoch: int,
     host_rng: np.random.Generator,
+    multi_step=None,
 ) -> Tuple[CFTrainState, Dict[str, float]]:
     dag_vars = tuple(dscm.pgm.dag_variables.keys())
-    stats = {k: 0.0 for k in ["loss", "aux_loss", "elbo", "nll", "kl", "morph_loss"]}
-    n = 0
-    for i, raw in enumerate(loader):
+    keys = ["loss", "aux_loss", "elbo", "nll", "kl", "morph_loss"]
+    accu = max(int(cfg.accu_steps), 1)
+    spc = cfg.steps_per_call if multi_step is not None else 1
+
+    ms = []  # per-step metric dicts (device) and batch sizes
+    sizes = []
+
+    def prep(i, raw):
         batch = preprocess_pgm_batch(pgm_cfg, raw)
         do = random_intervention(host_rng, dag_vars, batch, cfg.do_pa)
         do_values, do_mask = dense_intervention(dag_vars, batch, do)
-        key = jax.random.fold_in(rng, epoch * 100000 + i)
-        state, m = train_step(state, batch, do_values, do_mask, key)
-        if bool(jax.device_get(m["skipped"])):
+        sizes.append(batch["x"].shape[0])
+        return tuple(
+            _reshape_accu_cf(t, accu) for t in (batch, do_values, do_mask)
+        )
+
+    if spc > 1:
+        pend, pend_start = [], 0
+        for i, raw in enumerate(loader):
+            pend.append(prep(i, raw))
+            if len(pend) == spc:
+                chunk = jax.tree.map(lambda *xs: jnp.stack(xs), *pend)
+                offset = jnp.asarray(epoch * 100000 + pend_start, jnp.int32)
+                state, m = multi_step(state, *chunk, rng, offset)
+                ms.append(m)
+                pend, pend_start = [], i + 1
+        # partial tail chunk: a different S would force a second full
+        # compile of the scanned program — run the leftovers single-step
+        tail = []
+        for j, (batch, do_values, do_mask) in enumerate(pend):
+            key = jax.random.fold_in(rng, epoch * 100000 + pend_start + j)
+            state, m = train_step(state, batch, do_values, do_mask, key)
+            tail.append(m)
+        ms = jax.device_get(ms)
+        ms = [
+            jax.tree.map(lambda v: v[j], m)
+            for m in ms
+            for j in range(len(m["skipped"]))
+        ] + jax.device_get(tail)
+    else:
+        for i, raw in enumerate(loader):
+            batch, do_values, do_mask = prep(i, raw)
+            key = jax.random.fold_in(rng, epoch * 100000 + i)
+            state, m = train_step(state, batch, do_values, do_mask, key)
+            ms.append(m)
+        ms = jax.device_get(ms)
+
+    stats = {k: 0.0 for k in keys}
+    n = 0
+    for m, bs in zip(ms, sizes):
+        if bool(m["skipped"]):
             continue
-        bs = batch["x"].shape[0]
         n += bs
         for k in stats:
             scale = cfg.alpha if k == "aux_loss" else 1.0

@@ -186,6 +186,56 @@ class TestCFEval:
             assert np.isfinite(v)
 
 
+class TestEffectivenessUnits:
+    """Pin the PHYSICAL units of the effectiveness surface: cf_eval routes
+    per-variable metrics through cf_get_metrics (reference
+    train_cf.py:63-108), so ukbb volumes come back in ml (/1000 convention),
+    ukbb/mimic ages in years, and binaries as ROC-AUC/acc, never prob-MAE."""
+
+    def test_ukbb_volume_mae_in_ml(self):
+        from causal_gen_tpu.pgm.train_cf import cf_get_metrics
+        from causal_gen_tpu.utils.normalization import get_attr_max_min
+
+        n = 8
+        delta = 0.1  # offset in the [-1,1] PGM parent space
+        T = {"brain_volume": np.zeros((n, 1), np.float32),
+             "age": np.zeros((n, 1), np.float32),
+             "sex": np.array([[0.0], [1.0]] * (n // 2), np.float32)}
+        P = {"brain_volume": T["brain_volume"] + delta,
+             "age": T["age"] + delta,
+             "sex": T["sex"] * 0.8 + 0.1}
+        stats = cf_get_metrics("ukbb192", P, T)
+        bmax, bmin = get_attr_max_min("brain_volume")
+        expected_ml = delta / 2 * (bmax - bmin) / 1000.0
+        assert np.isclose(stats["brain_volume_mae"], expected_ml, rtol=1e-5)
+        amax, amin = get_attr_max_min("age")
+        expected_years = delta / 2 * (amax - amin)
+        assert np.isclose(stats["age_mae"], expected_years, rtol=1e-5)
+        # binaries are scored as classifiers, not prob-MAE regressions
+        assert "sex_rocauc" in stats and "sex_acc" in stats
+        assert "sex_mae" not in stats
+
+    def test_mimic_age_mae_in_years(self):
+        from causal_gen_tpu.pgm.train_cf import cf_get_metrics
+
+        n = 6
+        T = {"age": np.full((n, 1), -0.5, np.float32)}
+        P = {"age": np.full((n, 1), -0.3, np.float32)}
+        stats = cf_get_metrics("mimic192", P, T)
+        # [-1,1] maps to [0,100] years: 0.2 -> 10 years
+        assert np.isclose(stats["age_mae"], 10.0, rtol=1e-5)
+
+    def test_eval_counterfactuals_uses_cf_get_metrics(self):
+        """The eval harness and the CF-training eval must share one metric
+        surface — guard against the two drifting apart again."""
+        import inspect
+
+        from causal_gen_tpu.eval import cf_eval
+
+        src = inspect.getsource(cf_eval.eval_counterfactuals)
+        assert "cf_get_metrics" in src
+
+
 class TestVizCondPrior:
     def test_total_effect_rows_present(self, tmp_path):
         from causal_gen_tpu.models.hvae import HVAE
