@@ -165,7 +165,7 @@ PGM_VARS = dict(
 def run(dataset: str, root: str, out: str, epochs: int, bs: int,
         stages: str = "1234", flagship: bool = False, cf_epochs: int = 1,
         cf_bs: int = 0, cf_max_batches: int = 3, eval_freq: int = 1,
-        vae_extra=()) -> None:
+        vae_extra=(), cf_extra=()) -> None:
     from causal_gen_tpu.cli import evaluate as eval_cli
     from causal_gen_tpu.cli import main as vae_cli
     from causal_gen_tpu.cli import train_cf as cf_cli
@@ -195,7 +195,7 @@ def run(dataset: str, root: str, out: str, epochs: int, bs: int,
         _stage2(pgm_cli, dataset, root, pgm_dir, aux_dir, epochs, bs, res)
     if "3" in stages:
         _stage3(cf_cli, dataset, root, pgm_dir, aux_dir, vae_dir, cf_dir,
-                cf_bs or min(bs, 16), cf_epochs, cf_max_batches)
+                cf_bs or min(bs, 16), cf_epochs, cf_max_batches, cf_extra)
     if "4" in stages:
         _stage4(eval_cli, dataset, root, pgm_dir, aux_dir, vae_dir,
                 cf_bs or bs, cf_dir if "3" in stages or
@@ -267,7 +267,7 @@ def _stage2(pgm_cli, dataset, root, pgm_dir, aux_dir, epochs, bs, res):
 
 
 def _stage3(cf_cli, dataset, root, pgm_dir, aux_dir, vae_dir, cf_dir, bs,
-            cf_epochs, cf_max_batches):
+            cf_epochs, cf_max_batches, cf_extra=()):
     print("== stage 3: DSCM counterfactual fine-tuning ==", flush=True)
     do_pa = "brain_volume" if dataset == "ukbb" else "finding"
     argv = [
@@ -280,7 +280,7 @@ def _stage3(cf_cli, dataset, root, pgm_dir, aux_dir, vae_dir, cf_dir, bs,
     ]
     if cf_max_batches:
         argv += ["--max_batches", str(cf_max_batches)]
-    cf_cli.main(argv)
+    cf_cli.main(argv + list(cf_extra))
 
 
 def _stage4(eval_cli, dataset, root, pgm_dir, aux_dir, vae_dir, bs,
@@ -321,6 +321,9 @@ def main() -> None:
                         "one space-separated string (argparse cannot accept "
                         "dash-tokens in nargs lists), e.g. "
                         "--vae_extra='--steps_per_call 4'")
+    p.add_argument("--cf_extra", default="",
+                   help="extra flags forwarded to the stage-3 CF CLI, e.g. "
+                        "--cf_extra='--cf_remat --steps_per_call 4'")
     p.add_argument("--stages", default="1234",
                    help="subset of stages to run, e.g. '34' to reuse "
                         "existing stage-1/2 checkpoints")
@@ -338,7 +341,7 @@ def main() -> None:
     run(args.dataset, root, out, args.epochs, args.bs, stages=args.stages,
         flagship=args.flagship, cf_epochs=args.cf_epochs, cf_bs=args.cf_bs,
         cf_max_batches=args.cf_max_batches, eval_freq=args.eval_freq,
-        vae_extra=args.vae_extra.split())
+        vae_extra=args.vae_extra.split(), cf_extra=args.cf_extra.split())
 
 
 if __name__ == "__main__":
