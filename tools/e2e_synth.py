@@ -195,7 +195,8 @@ def run(dataset: str, root: str, out: str, epochs: int, bs: int,
         _stage2(pgm_cli, dataset, root, pgm_dir, aux_dir, epochs, bs, res)
     if "3" in stages:
         _stage3(cf_cli, dataset, root, pgm_dir, aux_dir, vae_dir, cf_dir,
-                cf_bs or min(bs, 16), cf_epochs, cf_max_batches, cf_extra)
+                cf_bs or min(bs, 16), cf_epochs, cf_max_batches, cf_extra,
+                flagship=flagship)
     if "4" in stages:
         _stage4(eval_cli, dataset, root, pgm_dir, aux_dir, vae_dir,
                 cf_bs or bs, cf_dir if "3" in stages or
@@ -217,11 +218,16 @@ def _stage1(vae_cli, hps, root, vae_dir, epochs, bs, dataset,
             # either way. With the reference cap it fits like ukbb192 does.
             else ["--beta", "9", "--z_max_res", "96", "--wd", "0.05"]
         )
+        # selective remat (store <=24² activations) fits ukbb's light body;
+        # mimic's FULL 4-conv GELU body stores more per block and OOMs at
+        # bs=128 with remat_min_res 48 (and 96, and no-remat: 36.8G vs
+        # 15.75G) — measured round 4, so mimic uses full remat (min_res 0)
+        mr = "48" if dataset == "ukbb" else "0"
         argv = [
             "--hps", hps, "--data_dir", root, "--save_dir", vae_dir,
             "--epochs", str(epochs), "--eval_freq", str(eval_freq),
             "--bs", str(bs), "--viz_freq", "0",
-            "--stage_scan", "--remat", "--remat_min_res", "48",
+            "--stage_scan", "--remat", "--remat_min_res", mr,
             # zero-init posterior heads: at 192² with ~70 stochastic blocks
             # the default init lands at huge KL and every update trips
             # grad_skip (measured: 16/16 steps skipped per epoch) — the same
@@ -267,17 +273,24 @@ def _stage2(pgm_cli, dataset, root, pgm_dir, aux_dir, epochs, bs, res):
 
 
 def _stage3(cf_cli, dataset, root, pgm_dir, aux_dir, vae_dir, cf_dir, bs,
-            cf_epochs, cf_max_batches, cf_extra=()):
+            cf_epochs, cf_max_batches, cf_extra=(), flagship=False):
     print("== stage 3: DSCM counterfactual fine-tuning ==", flush=True)
-    do_pa = "brain_volume" if dataset == "ukbb" else "finding"
     argv = [
         "--pgm_path", os.path.join(pgm_dir, "checkpoint"),
         "--predictor_path", os.path.join(aux_dir, "checkpoint"),
         "--vae_path", os.path.join(vae_dir, "checkpoint"),
         "--data_dir", root, "--save_dir", cf_dir,
         "--epochs", str(cf_epochs), "--bs", str(bs),
-        "--do_pa", do_pa, "--eval_freq", "1",
+        "--eval_freq", "1",
     ]
+    if flagship:
+        # reference CF launch (pgm/run.sh:25-37): lr=1e-4, alpha=0.1,
+        # do_pa=None -> a RANDOM DAG variable is intervened each step
+        argv += ["--lr", "1e-4", "--alpha", "0.1"]
+    else:
+        # smoke tier: a fixed intervention keeps the 3-batch run deterministic
+        do_pa = "brain_volume" if dataset == "ukbb" else "finding"
+        argv += ["--do_pa", do_pa]
     if cf_max_batches:
         argv += ["--max_batches", str(cf_max_batches)]
     cf_cli.main(argv + list(cf_extra))
