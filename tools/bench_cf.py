@@ -132,12 +132,72 @@ def _ukbb192_setup(bs: int, vae_path: str, pgm_path: str, pred_path: str):
     return cfg, vae, vae_params, pgm, pgm_params, predictor, pred_params, batch, do
 
 
+def _mimic192_setup(bs: int, vae_path: str, pgm_path: str, pred_path: str):
+    """Second flagship family (VERDICT r3 item 1): the mimic192 DSCM with the
+    ChestPGM DAG — do(finding) exercises Gumbel-Max discrete abduction
+    (reference pgm/flow_pgm.py:533-710) at product resolution."""
+    from causal_gen_tpu.config import get_config
+    from causal_gen_tpu.models.hvae import HVAE
+    from causal_gen_tpu.pgm.flow_pgm import ChestPGM
+    from causal_gen_tpu.train.vae_trainer import init_model_params
+
+    rng = jax.random.PRNGKey(0)
+    if vae_path:
+        from causal_gen_tpu.train.checkpoint import load_checkpoint
+
+        cfg, vae_state, _ = load_checkpoint(vae_path)
+        cfg = cfg.replace(bs=bs)
+        vae = HVAE(cfg=cfg)
+        vae_params = vae_state.ema_params
+    else:
+        cfg = get_config("mimic192", bs=bs, z_max_res=96)  # run_slurm.sh:51
+        vae = HVAE(cfg=cfg)
+        vae_params = init_model_params(cfg, vae, rng)
+
+    host = np.random.default_rng(0)
+    attrs = {
+        "age": jnp.asarray(host.uniform(-0.8, 0.8, (bs, 1)), jnp.float32),
+        "race": jnp.asarray(
+            np.eye(3, dtype=np.float32)[host.integers(0, 3, bs)]),
+        "sex": jnp.asarray(host.integers(0, 2, (bs, 1)), jnp.float32),
+        "finding": jnp.asarray(host.integers(0, 2, (bs, 1)), jnp.float32),
+    }
+    if pgm_path:
+        from causal_gen_tpu.cli.train_cf import build_pgm_from_ckpt
+
+        _, pgm, pgm_state = build_pgm_from_ckpt(pgm_path, False)
+        pgm_params = pgm_state.ema_params
+        _, predictor, pred_state = build_pgm_from_ckpt(pred_path, True)
+        pred_params = pred_state.ema_params
+    else:
+        pgm = ChestPGM(setup_predictors=False)
+        predictor = ChestPGM(setup_predictors=True, input_res=cfg.input_res)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            pgm_params = pgm.init({"params": rng, "sample": rng}, attrs)["params"]
+            x0 = jnp.zeros((bs, cfg.input_res, cfg.input_res, 1))
+            pred_params = predictor.init(
+                {"params": rng, "sample": rng}, x0,
+                method=predictor.anticausal_logprob, **attrs,
+            )["params"]
+
+    batch = {
+        "x": jnp.asarray(
+            host.uniform(-1, 1, (bs, cfg.input_res, cfg.input_res, 1)),
+            jnp.float32,
+        ),
+        **attrs,
+    }
+    do = {"finding": 1.0 - attrs["finding"]}  # flip the discrete mechanism
+    return cfg, vae, vae_params, pgm, pgm_params, predictor, pred_params, batch, do
+
+
 def main() -> None:
     from causal_gen_tpu.pgm.dscm import DSCM
 
     p = argparse.ArgumentParser()
     p.add_argument("--hps", default="morphomnist",
-                   choices=["morphomnist", "ukbb192"])
+                   choices=["morphomnist", "ukbb192", "mimic192"])
     p.add_argument("--bs", type=int, default=0, help="0 = config default")
     p.add_argument("--vae_path", default="")
     p.add_argument("--pgm_path", default="")
@@ -150,6 +210,11 @@ def main() -> None:
         bs = args.bs or 32
         (cfg, vae, vae_params, pgm, pgm_params, predictor, pred_params,
          batch, do) = _ukbb192_setup(
+            bs, args.vae_path, args.pgm_path, args.predictor_path)
+    elif args.hps == "mimic192":
+        bs = args.bs or 32
+        (cfg, vae, vae_params, pgm, pgm_params, predictor, pred_params,
+         batch, do) = _mimic192_setup(
             bs, args.vae_path, args.pgm_path, args.predictor_path)
     else:
         bs = args.bs or 256
