@@ -242,6 +242,13 @@ def main(argv: Optional[list] = None) -> None:
         logger.info("epoch %d | %s", epoch, stats)
         writer.add_scalars(stats, epoch, prefix="train/")
         if epoch % cfg.eval_freq == 0:
+            # persist BEFORE the (long) per-parent sweeps: a crash mid-sweep
+            # must not lose the trained state the sweeps are evaluating
+            ckpt_writer.save(
+                cf_state_payload(state),
+                {"config": dataclasses.asdict(cfg), "extra": {"epoch": epoch}},
+                step=int(jax.device_get(state.step)),
+            )
             # per-parent valid sweeps do(pa_k) for each k + random
             # (reference train_cf.py:194-201, 487-497)
             for pa_k in dag_vars + (None,):
@@ -284,11 +291,6 @@ def main(argv: Optional[list] = None) -> None:
                 )
             except Exception as e:  # viz must never kill training
                 logger.warning("cf panel failed: %s", e)
-            ckpt_writer.save(
-                cf_state_payload(state),
-                {"config": dataclasses.asdict(cfg), "extra": {"epoch": epoch}},
-                step=int(jax.device_get(state.step)),
-            )
     if cfg.epochs % cfg.eval_freq != 0:
         # short runs with sparse eval cadence still persist a final state
         ckpt_writer.save(
