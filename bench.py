@@ -28,11 +28,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent compilation cache: first run pays the (tunneled) compile, reruns
-# start in seconds
-jax.config.update("jax_compilation_cache_dir", os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent compilation cache, keyed per host machine: XLA:CPU AOT entries
+# compiled on a different machine type fail to load (cpu_aot_loader
+# machine-feature mismatch, "could lead to SIGILL") — that poisoned-cache
+# class nulled BENCH_r04. utils/cache.py scopes the dir by CPU-flags
+# fingerprint so a new host starts clean instead of poisoned.
+from causal_gen_tpu.utils.cache import setup_compilation_cache
+
+setup_compilation_cache()
 
 # Reference anchor (PyTorch T4, morphomnist HVAE bs=32): ESTIMATE, see module
 # docstring. The measured same-host CPU anchor is CPU_MEASURED below.
@@ -164,15 +167,20 @@ def bench_counterfactuals(budget_s: float) -> dict:
 
     pgm = MorphoMNISTPGM(setup_predictors=False)
     predictor = MorphoMNISTPGM(setup_predictors=True, input_res=cfg.input_res)
+    # params are batch-size independent: init at a tiny bs so the host-side
+    # (1-core) CPU init costs seconds, not minutes — the measured program
+    # below still runs at the full bs
+    bs_init = 8
     obs_attrs = {
-        "thickness": jnp.zeros((bs, 1)),
-        "intensity": jnp.zeros((bs, 1)),
-        "digit": jnp.asarray(np.eye(10, dtype=np.float32)[np.zeros(bs, np.int64)]),
+        "thickness": jnp.zeros((bs_init, 1)),
+        "intensity": jnp.zeros((bs_init, 1)),
+        "digit": jnp.asarray(
+            np.eye(10, dtype=np.float32)[np.zeros(bs_init, np.int64)]),
     }
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         pgm_params = pgm.init({"params": rng, "sample": rng}, obs_attrs)["params"]
-        x0 = jnp.zeros((bs, cfg.input_res, cfg.input_res, 1))
+        x0 = jnp.zeros((bs_init, cfg.input_res, cfg.input_res, 1))
         pred_params = predictor.init(
             {"params": rng, "sample": rng}, x0,
             method=predictor.anticausal_logprob, **obs_attrs,
@@ -229,12 +237,77 @@ def bench_counterfactuals(budget_s: float) -> dict:
     }
 
 
+def _stub_result(err: str) -> dict:
+    return {
+        "metric": "hvae_train_images_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "images/sec",
+        "vs_baseline": 0.0,
+        "error": err,
+    }
+
+
 def main() -> None:
+    """Timeout-proof two-phase bench.
+
+    Round 4's driver bench hit rc=124 with NOTHING printed (BENCH_r04
+    parsed:null): the chip pool froze mid-phase and the process died to the
+    driver's outer timeout. A SIGALRM guard is not enough — a hang inside a
+    native tunnel call never returns to the bytecode loop, so the pending
+    exception never fires (reproduced on this host). Instead a daemon
+    WATCHDOG THREAD (threads keep running while the main thread is blocked
+    in native code) prints the best-known partial result at its phase
+    deadline, flushes, and hard-exits — the driver always gets a JSON line.
+    """
+    import threading
+
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "150"))
-    result = bench_hvae_train(budget_s)
-    result["counterfactuals_per_sec"] = bench_counterfactuals(min(budget_s, 90.0))
+    state = {"result": _stub_result("train phase never completed"),
+             "phase": "train",
+             # phase deadline = measurement budget + compile/warmup headroom
+             # (first compile through the tunnel is slow on a cold cache)
+             "deadline": time.monotonic() + budget_s + 240.0}
+
+    def _watchdog():
+        while True:
+            time.sleep(2.0)
+            if state["deadline"] is None:
+                return
+            if time.monotonic() > state["deadline"]:
+                out = dict(state["result"])
+                out.setdefault(
+                    "error", f"wall-clock guard hit in phase {state['phase']}"
+                )
+                if state["phase"] == "cf":
+                    out["counterfactuals_per_sec"] = {
+                        "error": "cf phase hit the wall-clock guard"}
+                out["cpu_measured"] = CPU_MEASURED
+                print(json.dumps(out), flush=True)
+                os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    try:
+        result = bench_hvae_train(budget_s)
+    except Exception as e:  # noqa: BLE001 — must still print a line
+        result = _stub_result(f"train phase failed: {e!r}")
+    state["result"] = result
+    # Print+flush the train number IMMEDIATELY: if the CF phase hangs or
+    # dies, this line is already in the driver's tail (the final enriched
+    # line supersedes it on full success).
+    print(json.dumps(result), flush=True)
+
+    cf_budget = min(budget_s, 90.0)
+    state["phase"] = "cf"
+    state["deadline"] = time.monotonic() + cf_budget + 240.0
+    try:
+        cf = bench_counterfactuals(cf_budget)
+    except Exception as e:  # noqa: BLE001
+        cf = {"error": f"cf phase failed: {e!r}"}
+    state["deadline"] = None
+    result["counterfactuals_per_sec"] = cf
     result["cpu_measured"] = CPU_MEASURED
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--bs", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--wd", type=float, default=None,
+                   help="weight decay; defaults to the VAE checkpoint's wd. "
+                        "The reference CF launch overrides it to 0.1 "
+                        "(pgm/run.sh:25-37)")
     p.add_argument("--lr_lagrange", type=float, default=1e-2)
     p.add_argument("--ema_rate", type=float, default=0.999)
     p.add_argument("--alpha", type=float, default=1.0)
@@ -140,7 +144,9 @@ def main(argv: Optional[list] = None) -> None:
         lmbda_init=args.lmbda_init, damping=args.damping, do_pa=args.do_pa,
         eval_freq=args.eval_freq or 1, cf_particles=args.cf_particles,
         beta=vae_cfg.beta, grad_clip=vae_cfg.grad_clip,
-        grad_skip=vae_cfg.grad_skip, wd=vae_cfg.wd, betas=vae_cfg.betas,
+        grad_skip=vae_cfg.grad_skip,
+        wd=args.wd if args.wd is not None else vae_cfg.wd,
+        betas=vae_cfg.betas,
         elbo_constraint=eps,
         thickness_weight=args.thickness_weight,
         intensity_weight=args.intensity_weight,
@@ -244,7 +250,7 @@ def main(argv: Optional[list] = None) -> None:
         if epoch % cfg.eval_freq == 0:
             # persist BEFORE the (long) per-parent sweeps: a crash mid-sweep
             # must not lose the trained state the sweeps are evaluating
-            ckpt_writer.save(
+            ckpt_path = ckpt_writer.save(
                 cf_state_payload(state),
                 {"config": dataclasses.asdict(cfg), "extra": {"epoch": epoch}},
                 step=int(jax.device_get(state.step)),
@@ -258,6 +264,12 @@ def main(argv: Optional[list] = None) -> None:
                 )
                 logger.info("valid do(%s) | %s | %s", pa_k, ev, metrics)
                 writer.add_scalars(metrics, epoch, prefix=f"valid_do_{pa_k}/")
+                if pa_k is None:
+                    # feed the random-intervention valid loss back so
+                    # best-checkpoint retention matches the reference's
+                    # save-on-best-valid (train_cf.py:510-517) despite the
+                    # crash-safe pre-sweep save ordering
+                    ckpt_writer.update_metric(ev["loss"], path=ckpt_path)
             # counterfactual panel from one valid batch: obs / cf / direct
             # effect / uncertainty (reference utils_pgm.py:93-286, written
             # every eval at train_cf.py:487-497)

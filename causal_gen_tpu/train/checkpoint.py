@@ -124,6 +124,26 @@ class AsyncCheckpointWriter:
             json.dump({"entries": self._entries}, f, indent=2)
         return path
 
+    def update_metric(self, metric: float, path: Optional[str] = None) -> None:
+        """Attach/overwrite the retention metric of a queued save.
+
+        Call sites that must persist BEFORE their validation metric exists
+        (the CF trainer saves ahead of the long per-parent sweeps for
+        crash-safety) feed the metric back here once computed, so
+        best-checkpoint retention still matches the reference's
+        save-on-best-valid-loss (train_cf.py:510-517). Defaults to the most
+        recent save; refreshes the best pointer immediately."""
+        target = self._entries[-1] if path is None else next(
+            (e for e in self._entries if e["path"] == path), None
+        )
+        if target is None:
+            return
+        target["metric"] = float(metric)
+        with open(os.path.join(self.directory, "index.json"), "w") as f:
+            json.dump({"entries": self._entries}, f, indent=2)
+        self._ckptr.wait_until_finished()
+        self._update_link()
+
     def wait(self) -> None:
         """Block until all queued saves are durable; refresh best pointer."""
         self._ckptr.wait_until_finished()

@@ -338,6 +338,44 @@ class TestCheckpoint:
         _, _, extra = load_checkpoint(link)
         assert extra["epoch"] == 2
 
+    def test_update_metric_after_save(self, tmp_path):
+        """Deferred-metric retention: the CF trainer saves BEFORE the valid
+        sweeps (crash-safety) and feeds the valid loss back via
+        update_metric; the best pointer must then track best-valid like the
+        reference's save-on-best (train_cf.py:510-517)."""
+        import os
+
+        from causal_gen_tpu.models.hvae import HVAE
+        from causal_gen_tpu.train.checkpoint import (
+            AsyncCheckpointWriter, load_checkpoint,
+        )
+        from causal_gen_tpu.train.state import init_train_state
+        from causal_gen_tpu.train.vae_trainer import init_model_params
+        from causal_gen_tpu.train.checkpoint import state_payload
+
+        cfg = tiny_cfg()
+        model = HVAE(cfg=cfg)
+        params = init_model_params(cfg, model, jax.random.PRNGKey(0))
+        state = init_train_state(cfg, params)
+        w = AsyncCheckpointWriter(str(tmp_path), max_to_keep=2)
+        # metric arrives only AFTER each save, as in the CF eval sweeps
+        for step, metric in {1: 1.0, 2: 6.0, 3: 4.0}.items():
+            p = w.save(
+                state_payload(state),
+                {"config": cfg.to_dict(), "extra": {"epoch": step}},
+                step=step,
+            )
+            w.update_metric(metric, path=p)
+        # best (step 1, metric 1.0) survives rotation and owns the symlink
+        w.close()
+        kept = sorted(
+            d for d in os.listdir(tmp_path) if d.startswith("step_")
+            and not d.endswith(".meta.json")
+        )
+        assert "step_0000000001" in kept
+        _, _, extra = load_checkpoint(str(tmp_path / "checkpoint"))
+        assert extra["epoch"] == 1
+
 
 class TestParallel:
     def test_dp_tp_train_step_on_mesh(self):

@@ -6,12 +6,16 @@ full DSCM pipeline — PGM counterfactual (flow inversion + mutilated forward),
 HVAE latent abduction, two decoder passes, pixel-noise abduction — as one
 jitted program (reference src/pgm/dscm.py:30-95 is the engine measured).
 
-Two configs:
+Three configs:
   (default)        morphomnist 32x32, random-init params, bs=256
   --hps ukbb192    flagship 192x192 brain config (reference run_slurm.sh:22-37);
                    pass --vae_path/--pgm_path/--predictor_path to measure with
                    trained checkpoints (otherwise random init — identical
                    compute either way, checkpoints just make it the real model)
+  --hps mimic192   flagship 192x192 chest config (reference run_slurm.sh:39-52):
+                   ChestPGM DAG with the do(finding) intervention, so the
+                   Gumbel-Max discrete abduction (exact truncated-Gumbel
+                   posterior) is on the measured path
 """
 
 from __future__ import annotations
@@ -25,9 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from causal_gen_tpu.utils.cache import setup_compilation_cache
+
+setup_compilation_cache()  # per-host fingerprinted dir (poisoned-cache fix)
 
 import jax.numpy as jnp
 import numpy as np

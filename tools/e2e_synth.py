@@ -284,9 +284,9 @@ def _stage3(cf_cli, dataset, root, pgm_dir, aux_dir, vae_dir, cf_dir, bs,
         "--eval_freq", "1",
     ]
     if flagship:
-        # reference CF launch (pgm/run.sh:25-37): lr=1e-4, alpha=0.1,
+        # reference CF launch (pgm/run.sh:25-37): lr=1e-4, wd=0.1, alpha=0.1,
         # do_pa=None -> a RANDOM DAG variable is intervened each step
-        argv += ["--lr", "1e-4", "--alpha", "0.1"]
+        argv += ["--lr", "1e-4", "--wd", "0.1", "--alpha", "0.1"]
     else:
         # smoke tier: a fixed intervention keeps the 3-batch run deterministic
         do_pa = "brain_volume" if dataset == "ukbb" else "finding"

@@ -24,9 +24,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from causal_gen_tpu.utils.cache import setup_compilation_cache
+
+setup_compilation_cache()  # per-host fingerprinted dir (poisoned-cache fix)
 
 V5E_PEAK_FLOPS = {"bfloat16": 197e12, "float32": 98.5e12}
 
