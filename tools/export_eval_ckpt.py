@@ -40,25 +40,16 @@ def main() -> None:
     ckptr = ocp.PyTreeCheckpointer()
     payload = ckptr.restore(src)
 
-    if args.kind == "cf":
-        slim = {
-            "trainable": {},
-            "ema_trainable": payload["ema_trainable"],
-            "opt_state": {},
-            "lagrange_opt_state": {},
-            "step": payload["step"],
-            "ema_updates": payload["ema_updates"],
-            "skipped": payload.get("skipped", 0),
-        }
-    else:
-        slim = {
-            "params": {},
-            "ema_params": payload["ema_params"],
-            "opt_state": {},
-            "step": payload["step"],
-            "ema_updates": payload["ema_updates"],
-            "skipped": payload.get("skipped", 0),
-        }
+    # preserve the payload's own key set (schemas differ slightly per state
+    # type: the PGM TrainState has no ema_updates/skipped) — EMA trees kept,
+    # every other tree emptied
+    keep = {"ema_trainable", "ema_params", "step", "ema_updates", "skipped"}
+    empty = {"trainable", "params", "opt_state", "lagrange_opt_state"}
+    slim = {
+        k: (payload[k] if k in keep else {})
+        for k in payload
+        if k in keep | empty
+    }
 
     os.makedirs(args.dst, exist_ok=True)
     dst = os.path.join(os.path.abspath(args.dst), "checkpoint")

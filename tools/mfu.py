@@ -46,6 +46,9 @@ def main() -> None:
     p.add_argument("--remat", action="store_true")
     p.add_argument("--remat_min_res", type=int, default=None)
     p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--width_multiple", type=int, default=None,
+                   help="round conv widths up to this multiple (lane-padding "
+                        "study; changes capacity, so perf-variant only)")
     p.add_argument("--dtype", default=None)
     p.add_argument("--x_like", default=None,
                    help="likelihood override (e.g. shared_dmol for the "
@@ -57,7 +60,8 @@ def main() -> None:
     args = p.parse_args()
 
     kw = dict(bs=args.bs, accu_steps=1)
-    for k in ("beta", "z_max_res", "dtype", "x_like", "remat_min_res"):
+    for k in ("beta", "z_max_res", "dtype", "x_like", "remat_min_res",
+              "width_multiple"):
         v = getattr(args, k)
         if v is not None:
             kw[k] = v
