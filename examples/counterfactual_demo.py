@@ -54,6 +54,8 @@ def main() -> None:
     p.add_argument("--out", default="cf_panel.png")
     args = p.parse_args()
 
+    from causal_gen_tpu.pgm.train_cf import preprocess_pgm_batch
+
     pgm_cfg, pgm, pgm_state = build_pgm_from_ckpt(args.pgm_path, False)
     _, predictor, pred_state = build_pgm_from_ckpt(args.predictor_path, True)
     vae_cfg, vae_state, _ = load_checkpoint(args.vae_path)
@@ -61,12 +63,19 @@ def main() -> None:
         vae_cfg = vae_cfg.replace(data_dir=args.data_dir)
     vae = SimpleVAE(cfg=vae_cfg) if vae_cfg.vae == "simple" else HVAE(cfg=vae_cfg)
 
-    datasets = setup_datasets(vae_cfg)
+    # data comes from the PGM's variable set, not the VAE's (the DAG may
+    # need attrs the VAE never sees, e.g. UKBB age), and attrs go through
+    # the SAME preprocessing the CF trainer uses — mirrors
+    # cli/train_cf.py's loader setup (reference train_cf.py:425-427)
+    data_cfg = vae_cfg
+    if pgm_cfg.parents_x:
+        data_cfg = data_cfg.replace(parents_x=tuple(pgm_cfg.parents_x))
+    if "ukbb" in vae_cfg.name:
+        data_cfg = data_cfg.replace(context_norm="raw")
+    datasets = setup_datasets(data_cfg)
     raw = datasets["test"].batch(np.arange(args.n), concat_pa=False)
-    obs = {"x": (jnp.asarray(raw["x"], jnp.float32) - 127.5) / 127.5}
-    for k, v in raw.items():
-        if k != "x":
-            obs[k] = jnp.asarray(v if v.ndim > 1 else v[:, None], jnp.float32)
+    obs = dict(preprocess_pgm_batch(pgm_cfg, raw))
+    obs["x"] = (jnp.asarray(raw["x"], jnp.float32) - 127.5) / 127.5
 
     do = {}
     for spec in args.do:

@@ -207,6 +207,9 @@ def main() -> None:
     p.add_argument("--pgm_path", default="")
     p.add_argument("--predictor_path", default="")
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--particles", type=int, default=1,
+                   help="cf_particles: multi-particle mean + Var[X] "
+                        "uncertainty map (reference dscm.py:58-72)")
     args = p.parse_args()
 
     rng = jax.random.PRNGKey(0)
@@ -235,7 +238,8 @@ def main() -> None:
     frozen = {"pgm": pgm_params, "predictor": pred_params}
 
     def cf_forward(t, f, b, d, r):
-        return dscm.forward(t, f, b, d, r)["cfs"]["x"]
+        return dscm.forward(t, f, b, d, r,
+                            cf_particles=args.particles)["cfs"]["x"]
 
     fwd = jax.jit(cf_forward)
 
@@ -268,6 +272,7 @@ def main() -> None:
         "unit": "counterfactuals/sec",
         "device_ms_per_batch": round(ms, 2),
         "bs": bs,
+        "particles": args.particles,
         "from_checkpoints": bool(args.vae_path),
     }))
 
